@@ -1,0 +1,126 @@
+"""Canonicalization: clusters → canonical entities, id remapping, provenance.
+
+Distributed re-expression of the reference's backfill
+(``/root/reference/src/knowledge_graph/foundation/resolution.py:229-264``):
+
+  * every vertex gets ``entity_id`` = its cluster's canonical id
+  * display name = the most complete surface form — most tokens wins
+    (resolution.py:133-135, asserted by test_entity_resolution.py:37-39) —
+    with a deterministic total tiebreak (token count, char length, then
+    lexicographic) so election is stable across partitions
+  * aliases = all surface forms of the cluster, de-duplicated
+    (resolution.py:222-226 accumulates every registered surface)
+  * triples are remapped to canonical ids, self-loops dropped, and
+    re-asserted facts accumulate provenance with the max-confidence
+    representative kept (store.py:60-87)
+
+Canonical id = ``node_id(type, display_name)`` — the reference's
+deterministic surrogate scheme (model.py:27-34) applied to the elected
+display form, so ids are stable under re-runs and independent of insertion
+order (unlike the reference's first-seen id, which is order-dependent; the
+labeled tests assert cluster membership, not a specific id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neuronews_spark.functions.normalize import node_id
+
+
+def _election_key(name_col) -> F.Column:
+    """Total-order election key: (token count, char length, name)."""
+    toks = F.filter(F.split(F.trim(name_col), r"\s+"), lambda t: t != F.lit(""))
+    return F.struct(
+        F.size(toks).alias("n_tokens"),
+        F.length(name_col).alias("n_chars"),
+        name_col.alias("name"),
+    )
+
+
+def build_entities(vertices: DataFrame, components: DataFrame) -> DataFrame:
+    """vertices(entity_type, name, norm, node_id, n_mentions [, aliases]) +
+    components(node_id, component) → one row per canonical entity:
+
+      entity_id, entity_type, name (display), aliases (sorted surface forms),
+      n_surfaces, n_mentions, component (cluster root vertex id).
+    """
+    v = vertices.join(components, "node_id")
+    alias_col = (
+        F.array_distinct(F.flatten(F.collect_list("aliases")))
+        if "aliases" in vertices.columns
+        else F.collect_set("name")
+    )
+    clusters = v.groupBy("component").agg(
+        F.first("entity_type").alias("entity_type"),
+        F.max(_election_key(F.col("name"))).alias("_win"),
+        F.array_sort(alias_col).alias("aliases"),
+        F.count(F.lit(1)).alias("n_surfaces"),
+        F.sum("n_mentions").alias("n_mentions"),
+    )
+    return clusters.select(
+        node_id(F.col("entity_type"), F.col("_win.name")).alias("entity_id"),
+        "entity_type",
+        F.col("_win.name").alias("name"),
+        "aliases",
+        "n_surfaces",
+        "n_mentions",
+        "component",
+    )
+
+
+def build_id_map(components: DataFrame, entities: DataFrame) -> DataFrame:
+    """(node_id → entity_id), the distributed analog of the backfill's
+    ``old_id -> canonical_id`` map (resolution.py:243-248)."""
+    return components.join(
+        entities.select("component", "entity_id"), "component"
+    ).select("node_id", "entity_id")
+
+
+def remap_edges(edges: DataFrame, id_map: DataFrame) -> DataFrame:
+    """Rewrite edge endpoints to canonical ids and drop self-loops
+    (resolution.py:254-258). ``edges`` must have (subject, predicate,
+    object); all other columns pass through."""
+    sub_map = id_map.select(
+        F.col("node_id").alias("subject"), F.col("entity_id").alias("_sub")
+    )
+    obj_map = id_map.select(
+        F.col("node_id").alias("object"), F.col("entity_id").alias("_obj")
+    )
+    out = (
+        edges.join(sub_map, "subject", "left")
+        .join(obj_map, "object", "left")
+        .withColumn("subject", F.coalesce("_sub", "subject"))
+        .withColumn("object", F.coalesce("_obj", "object"))
+        .drop("_sub", "_obj")
+    )
+    return out.filter(F.col("subject") != F.col("object"))
+
+
+def accumulate_provenance(edges: DataFrame) -> DataFrame:
+    """Collapse re-asserted facts to one row per (subject, predicate, object)
+    accumulating provenance, keeping the max-confidence assertion as the
+    representative (store.py:76-87). Expects provenance fields
+    (source_doc, confidence, chunk_id, extractor) as flat columns."""
+    prov = F.struct("source_doc", "confidence", "chunk_id", "extractor")
+    return edges.groupBy("subject", "predicate", "object").agg(
+        F.count(F.lit(1)).alias("n_assertions"),
+        F.max_by(prov, F.col("confidence")).alias("provenance"),
+        F.collect_list(prov).alias("provenances"),
+    )
+
+
+def mentions_to_edges(mentions: DataFrame) -> DataFrame:
+    """Document→entity MENTIONS edges from mention rows
+    (kg_updater.py:201-215: subject = document node, predicate=MENTIONS,
+    provenance(source_doc=doc, confidence=0.8, extractor='heuristic-ner'))."""
+    return mentions.select(
+        node_id(F.lit("Document"), F.col("conv_id")).alias("subject"),
+        F.lit("MENTIONS").alias("predicate"),
+        F.col("node_id").alias("object"),
+        F.col("conv_id").alias("source_doc"),
+        F.col("confidence"),
+        F.concat_ws("#", F.col("conv_id"), F.col("mention_idx")).alias("chunk_id"),
+        F.col("extractor"),
+    )

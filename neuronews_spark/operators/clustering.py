@@ -1,0 +1,133 @@
+"""Transitive clustering: iterative connected components on DataFrames.
+
+The reference achieves global transitive merging through its sequential
+backfill (``resolution.py:229-264`` re-resolves every node against the
+resolver's accumulating state). The distributed equivalent is connected
+components over the matched-pair edge list — implemented here as the
+**large-star / small-star** algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SOCC'14), which converges in
+O(log n) rounds and maps to plain DataFrame joins + aggregations:
+
+  large-star: for each node u, attach every *larger* neighbor v to
+              m(u) = min(N(u) ∪ {u})
+  small-star: orient edges to (larger → smaller); attach all smaller
+              neighbors and u itself to the minimum neighbor
+
+Vertex ids are strings (surrogate node ids); min/ordering is plain string
+ordering — no dense-int relabeling pass is needed, which matters at
+10^12-turn scale where relabeling would itself be a full shuffle.
+
+Each round materializes via ``localCheckpoint`` to truncate the lineage
+(otherwise the plan doubles per iteration), and convergence is detected by
+an order-insensitive xxhash64 signature of the edge set. An optional
+``checkpoint_cb`` lets the pipeline persist per-round edges for resume.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected canonical form (min, max), self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bi = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = bi.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.select(
+        F.col("src").alias("u"), F.least("mn", F.col("src")).alias("m")
+    )
+    return (
+        bi.join(mins, bi["src"] == mins["u"])
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    part1 = (
+        oriented.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    part2 = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return part1.union(part2)
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 30,
+    checkpoint_cb: Callable[[int, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """edges(src, dst) → (node_id, component) for every node that appears in
+    ≥1 edge; ``component`` is the lexicographic minimum id of the cluster.
+
+    ``checkpoint_cb(iteration, edges) -> edges`` may persist and re-read the
+    per-round edge set (stage resumability); by default rounds are pinned
+    with ``localCheckpoint`` only.
+    """
+    e = _canon(edges)
+    e = e.localCheckpoint(eager=True)
+    prev_sig = _signature(e)
+    if prev_sig[0] == 0:
+        return edges.sparkSession.createDataFrame([], "node_id string, component string")
+
+    for it in range(max_iterations):
+        e2 = _canon(_small_star(_large_star(e)))
+        if checkpoint_cb is not None:
+            e2 = checkpoint_cb(it, e2)
+        else:
+            e2 = e2.localCheckpoint(eager=True)
+        sig = _signature(e2)
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # Converged state is a set of stars; in canonical (min, max) edge form
+    # the root is always ``src``, members are ``dst``.
+    comp = e.select(F.col("dst").alias("node_id"), F.col("src").alias("component"))
+    roots = e.select(F.col("src").alias("node_id"), F.col("src").alias("component"))
+    return comp.union(roots).distinct()
+
+
+def components_for_vertices(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node_id",
+    max_iterations: int = 30,
+    checkpoint_cb: Callable[[int, DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """All vertices → (node_id, component); isolated vertices become their
+    own singleton component (the reference: an unmatched mention creates a
+    fresh canonical node, resolution.py:140-149)."""
+    cc = connected_components(
+        edges, max_iterations=max_iterations, checkpoint_cb=checkpoint_cb
+    )
+    ids = vertices.select(F.col(id_col).alias("node_id")).distinct()
+    return ids.join(cc, "node_id", "left").select(
+        "node_id", F.coalesce("component", "node_id").alias("component")
+    )

@@ -1,0 +1,179 @@
+"""Deterministic heuristic NER over conversation text.
+
+Exact port of the reference's lightweight mention extractor
+(``/root/reference/src/knowledge_graph/kg_updater.py:88-153``):
+
+  * candidate mentions = capitalized-word sequences of 1-4 tokens
+    (``_CAP_SEQ`` kg_updater.py:89)
+  * drop if shorter than 3 chars, first token a stop word, or already seen
+    in this document (first occurrence wins — kg_updater.py:139-150)
+  * type inference (kg_updater.py:115-126): person title prefix or
+    title-as-preceding-word → PERSON; org suffix token → ORGANIZATION;
+    exactly two tokens → PERSON; else CONCEPT.
+
+The extractor is order-sensitive *within one document* (seen-set dedup and
+the preceding-word index both depend on document order), so it runs as an
+Arrow-batched ``pandas_udf`` returning ``array<struct<name,entity_type>>``
+per conversation — one Python invocation per ~10k conversations, not per
+row, with all surrounding plumbing (explode, ids, normalization) in native
+Column expressions.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neuronews_spark.functions.normalize import node_id, normalize_name
+
+# kg_updater.py:89 — capitalized sequences of 1-4 tokens
+CAP_SEQ = re.compile(r"\b([A-Z][a-z]{1,}(?:\s+[A-Z][a-z]{1,}){0,3})\b")
+
+# kg_updater.py:91-96
+ORG_SUFFIXES = frozenset(
+    [
+        "Inc", "Corp", "Ltd", "LLC", "Company", "Group", "Institute",
+        "Association", "Foundation", "Ministry", "Department", "University",
+        "College", "Bank", "Fund", "Agency", "Bureau", "Committee",
+        "Organisation", "Organization",
+    ]
+)
+
+# kg_updater.py:98-101
+PERSON_TITLES = frozenset(
+    [
+        "Mr", "Ms", "Mrs", "Dr", "Prof", "President", "CEO", "CTO", "CFO",
+        "Senator", "Representative", "Minister", "Director", "Secretary",
+        "General",
+    ]
+)
+
+# kg_updater.py:104-112
+STOP = frozenset(
+    [
+        "The", "A", "An", "In", "On", "At", "By", "For", "With", "From",
+        "And", "Or", "But", "To", "Of", "As", "Is", "Are", "Was", "Were",
+        "This", "That", "These", "Those", "It", "He", "She", "We", "They",
+        "His", "Her", "Their", "Its", "Our", "Your", "My",
+        "January", "February", "March", "April", "May", "June",
+        "July", "August", "September", "October", "November", "December",
+        "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday",
+        "Sunday",
+    ]
+)
+
+MENTION_STRUCT = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("entity_type", T.StringType()),
+        ]
+    )
+)
+
+
+def _infer_type(tokens: list[str], preceding_word: str) -> str:
+    """kg_updater.py:115-126, returning ontology type values."""
+    last = tokens[-1] if tokens else ""
+    first = tokens[0] if tokens else ""
+    if first in PERSON_TITLES or preceding_word.rstrip(".") in PERSON_TITLES:
+        return "Person"
+    if last in ORG_SUFFIXES or any(t in ORG_SUFFIXES for t in tokens):
+        return "Organization"
+    if len(tokens) == 2:
+        return "Person"
+    return "Concept"
+
+
+def extract_mentions_py(text: str) -> list[tuple[str, str]]:
+    """Exact port of kg_updater.py:128-153 (driver-side mirror, also the
+    kernel the pandas UDF applies per conversation)."""
+    text = text or ""
+    words = text.split()
+    preceding: dict[str, str] = {}
+    for i in range(1, len(words)):
+        surface = words[i].rstrip(".,;:\"'")
+        preceding.setdefault(surface, words[i - 1].rstrip(".,;:\"'"))
+
+    seen: set[str] = set()
+    results: list[tuple[str, str]] = []
+    for m in CAP_SEQ.finditer(text):
+        name = m.group(1).strip()
+        tokens = name.split()
+        if len(name) < 3:
+            continue
+        if tokens[0] in STOP or name in STOP:
+            continue
+        if name in seen:
+            continue
+        seen.add(name)
+        etype = _infer_type(tokens, preceding.get(tokens[0], ""))
+        results.append((name, etype))
+    return results
+
+
+@F.pandas_udf(MENTION_STRUCT)
+def _extract_mentions_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(
+        lambda t: [
+            {"name": n, "entity_type": e} for n, e in extract_mentions_py(t)
+        ]
+    )
+
+
+def extract_mentions(conversations: DataFrame, text_col: str = "doc_text") -> DataFrame:
+    """conversations(conv_id, doc_text, ...) → one row per extracted mention.
+
+    Output columns:
+      conv_id, mention_idx (document order), name, entity_type,
+      norm (resolution-normalized form), node_id (surrogate id,
+      model.py:27-34), confidence (0.8 — kg_updater.py:211),
+      extractor ('heuristic-ner').
+
+    Mentions with empty ``norm`` are dropped (the resolver refuses them:
+    resolution.py:163-164).
+    """
+    exploded = conversations.select(
+        "conv_id",
+        F.posexplode(_extract_mentions_udf(F.col(text_col))).alias("mention_idx", "m"),
+    ).select(
+        "conv_id",
+        "mention_idx",
+        F.col("m.name").alias("name"),
+        F.col("m.entity_type").alias("entity_type"),
+    )
+    out = exploded.withColumn(
+        "norm", normalize_name(F.col("name"), F.col("entity_type"))
+    ).filter(F.col("norm") != "")
+    return (
+        out.withColumn("node_id", node_id(F.col("entity_type"), F.col("name")))
+        .withColumn("confidence", F.lit(0.8))
+        .withColumn("extractor", F.lit("heuristic-ner"))
+    )
+
+
+def distinct_vertices(mentions: DataFrame) -> DataFrame:
+    """Collapse mention instances to the ER vertex set: one row per surrogate
+    ``node_id`` (= one distinct model-normalized surface form per type,
+    model.py:27-34 — the unit the reference's exact alias index keys on,
+    resolution.py:106,165-167).
+
+    Surfaces differing only in case/whitespace share a node_id; the longest
+    one is elected representative ``name`` deterministically and all of them
+    are kept in ``aliases``. ``norm`` (the resolution normalizer) is constant
+    within a node_id, so taking max is exact, not approximate.
+    """
+    rep = F.struct(
+        F.length("name").alias("n_chars"), F.col("name").alias("name")
+    )
+    return mentions.groupBy("entity_type", "node_id").agg(
+        F.max(rep).getField("name").alias("name"),
+        F.max("norm").alias("norm"),
+        F.array_sort(F.collect_set("name")).alias("aliases"),
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

@@ -1,0 +1,216 @@
+"""End-to-end entity-resolution pipeline over transcript tables.
+
+    transcripts ─ assemble ─ mentions ─ vertices ─ blocking ─ pairs
+                                                      │
+                 entities ◄─ clustering ◄─ scoring ◄──┘
+                     │
+               id_map / MENTIONS edges / provenance / lineage
+
+Each stage is declared with the DataFrame API (Catalyst plans the physical
+execution; AQE coalesces partitions and splits skewed joins at runtime) and
+optionally checkpointed to parquet for resume (north rule). The two pandas
+UDF stages (mention extraction, pair scoring) are Arrow-batched.
+
+Shuffle inventory at 10^12-turn scale — every wide op is keyed:
+  assemble    1 shuffle on conv_id (partial agg map-side)
+  vertices    1 shuffle on node_id (distinct surfaces ≪ mention instances)
+  blocking    explode (narrow) + 1 shuffle on block_key for the self-join
+  pair dedup  1 shuffle on (id_a, id_b)
+  clustering  O(log n) shuffles on vertex id (component edges only —
+              matched pairs, a tiny fraction of candidates)
+  entities    1 shuffle on component
+Broadcasts: capped-block keys, embedding dimension table.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neuronews_spark.checkpoint import StageCheckpoint
+from neuronews_spark.lineage import LineageWriter
+from neuronews_spark.operators.blocking import build_blocks, candidate_pairs
+from neuronews_spark.operators.canonicalize import (
+    accumulate_provenance,
+    build_entities,
+    build_id_map,
+    mentions_to_edges,
+    remap_edges,
+)
+from neuronews_spark.operators.clustering import components_for_vertices
+from neuronews_spark.operators.conversations import assemble_conversations
+from neuronews_spark.operators.mentions import distinct_vertices, extract_mentions
+from neuronews_spark.operators.scoring import (
+    ScoringConfig,
+    matched_edges,
+    score_embedding_pairs,
+    score_pairs,
+)
+
+
+@dataclass
+class PipelineConfig:
+    max_block_size: int = 1000
+    minhash_hashes: int = 16
+    minhash_bands: int = 4
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    max_cc_iterations: int = 30
+    workdir: str | None = None  # enables stage checkpoints + lineage
+    run_id: str | None = None
+
+
+@dataclass
+class PipelineResult:
+    conversations: DataFrame
+    mentions: DataFrame
+    vertices: DataFrame
+    pairs: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    components: DataFrame
+    entities: DataFrame
+    id_map: DataFrame
+    mention_edges: DataFrame
+
+
+class EntityResolutionPipeline:
+    """blocking + pairwise scoring + transitive clustering (north rule)."""
+
+    def __init__(self, spark: SparkSession, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.ckpt: StageCheckpoint | None = None
+        self.lineage: LineageWriter | None = None
+        if self.config.workdir:
+            self.ckpt = StageCheckpoint(spark, self.config.workdir)
+            self.lineage = LineageWriter(
+                spark,
+                os.path.join(self.config.workdir, "lineage"),
+                run_id=self.config.run_id,
+            )
+
+    # -- stage helpers ----------------------------------------------------
+
+    def _stage(self, name: str, fingerprint: str, build) -> DataFrame:
+        if self.ckpt is not None:
+            df = self.ckpt.run(name, fingerprint, build)
+        else:
+            df = build()
+        if self.lineage is not None:
+            self.lineage.partition_counts(name, df)
+        return df
+
+    # -- public API --------------------------------------------------------
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        name_embeddings: DataFrame | None = None,
+        fingerprint: str = "",
+    ) -> PipelineResult:
+        """Execute the full pipeline. ``fingerprint`` identifies the input
+        (e.g. its path + snapshot); stages re-use checkpoints when it is
+        unchanged."""
+        cfg = self.config
+        fp = f"{fingerprint}|mb={cfg.max_block_size}|mh={cfg.minhash_hashes}x{cfg.minhash_bands}|rt={cfg.scoring.ratio_threshold}|et={cfg.scoring.embedding_threshold}"
+
+        conversations = self._stage(
+            "conversations", fp, lambda: assemble_conversations(transcripts)
+        )
+        mentions = self._stage(
+            "mentions", fp, lambda: extract_mentions(conversations)
+        )
+        vertices = self._stage(
+            "vertices", fp, lambda: distinct_vertices(mentions)
+        )
+
+        def _build_pairs() -> DataFrame:
+            blocks = build_blocks(
+                vertices,
+                n_hashes=cfg.minhash_hashes,
+                bands=cfg.minhash_bands,
+            )
+            pairs, capped = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+            if self.lineage is not None:
+                self.lineage.frame(
+                    "blocking", capped, "capped_block", "block_key", "block_size"
+                )
+            return pairs
+
+        pairs = self._stage("blocking", fp, _build_pairs)
+
+        def _build_scored() -> DataFrame:
+            return score_pairs(pairs, cfg.scoring)
+
+        scored = self._stage("scoring", fp, _build_scored)
+
+        def _build_edges() -> DataFrame:
+            edges = matched_edges(scored)
+            if name_embeddings is not None:
+                emb_edges = score_embedding_pairs(
+                    scored.filter(~F.col("matched")), name_embeddings, cfg.scoring
+                )
+                edges = edges.unionByName(emb_edges)
+            return edges
+
+        edges = self._stage("edges", fp, _build_edges)
+
+        cc_cb = None
+        if self.ckpt is not None:
+            ck = self.ckpt
+
+            def cc_cb(it: int, e: DataFrame) -> DataFrame:  # noqa: F811
+                return ck.write(f"cc_iter_{it:03d}", e, fp)
+
+        components = self._stage(
+            "clustering",
+            fp,
+            lambda: components_for_vertices(
+                vertices.select("node_id"),
+                edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                max_iterations=cfg.max_cc_iterations,
+                checkpoint_cb=cc_cb,
+            ),
+        )
+        entities = self._stage(
+            "entities", fp, lambda: build_entities(vertices, components)
+        )
+        id_map = build_id_map(components, entities)
+        mention_edges = accumulate_provenance(
+            remap_edges(mentions_to_edges(mentions), id_map)
+        )
+
+        if self.lineage is not None:
+            for nm, df in (
+                ("vertices", vertices),
+                ("edges", edges),
+                ("entities", entities),
+            ):
+                self.lineage.scalar(nm, "rows", df.count())
+
+        return PipelineResult(
+            conversations=conversations,
+            mentions=mentions,
+            vertices=vertices,
+            pairs=pairs,
+            scored=scored,
+            edges=edges,
+            components=components,
+            entities=entities,
+            id_map=id_map,
+            mention_edges=mention_edges,
+        )
+
+
+def resolve_entities(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    name_embeddings: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+) -> DataFrame:
+    """One-call convenience: transcripts → canonical entities DataFrame."""
+    pipe = EntityResolutionPipeline(spark, config)
+    return pipe.run(transcripts, name_embeddings=name_embeddings).entities

@@ -1,0 +1,58 @@
+"""SparkSession factory tuned for the record-linkage workload.
+
+Defaults mirror what the reference ships in its cluster conf
+(``spark/conf/spark-defaults.conf:36-41``: AQE on, partition coalescing,
+Kryo, vectorized reads) re-expressed for a vanilla PySpark runtime. The
+session is sized by environment:
+
+  SPARK_GRAFT_CPUS  — local[...] parallelism (default: all cores)
+
+At cluster scale the same builder is used by ``spark-submit --py-files``;
+master/executor sizing then comes from the submit command, not from here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "neuronews-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with linkage-tuned defaults.
+
+    AQE handles runtime coalescing and skew-join splitting (hot blocks /
+    hot conversations); Arrow is on for the pandas-UDF scoring kernels;
+    the session timezone is pinned to UTC so results compare bit-for-bit
+    against the DuckDB oracle.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
