@@ -21,6 +21,13 @@ fire must be reachable through ≥1 blocking modality:
   m: MinHash-LSH      SequenceMatcher ratio ≥ 0.88 ⇒ high char-shingle
                       overlap; LSH over char-3gram shingles recovers those
                       pairs with tunable recall (16 hashes × 4 bands)
+  f: prefix           deterministic 4-char prefix of the space-stripped norm
+                      — guarantees the suffix/plural/spacing ratio pairs
+                      (OpenAI/Open AI, Transformer/Transformers) meet even
+                      when a MinHash band misses
+  e: embedding LSH    random-hyperplane SimHash bands over name vectors —
+                      the scalable stand-in for the reference's full
+                      within-type embedding scan (resolution.py:204-215)
 
 All keys are pure Column expressions (see ``functions.normalize``); the
 pair generator is one self-equi-join on ``block_key`` with ``id_a < id_b``
@@ -32,8 +39,11 @@ bounding the worst-case pair count at cap²/2 per block.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from neuronews_spark.functions.normalize import (
     char_shingles,
@@ -51,9 +61,13 @@ def block_keys_column(
     with_token_keys: bool = True,
 ) -> Column:
     """Array of blocking keys for one vertex (all modalities, type-scoped)."""
+    squashed = F.regexp_replace(norm, " ", "")
     keys = [
         F.array(F.concat_ws("|", F.lit("x"), entity_type, norm)),
         F.array(F.concat_ws("|", F.lit("s"), entity_type, fuzzy_sort_key(norm))),
+        F.array(
+            F.concat_ws("|", F.lit("f"), entity_type, F.substring(squashed, 1, 4))
+        ),
         F.when(
             entity_type == F.lit("Person"),
             F.array(F.concat_ws("|", F.lit("p"), F.element_at(tokens(norm), -1))),
@@ -158,3 +172,61 @@ def candidate_pairs(
         F.first("norm_b").alias("norm_b"),
     )
     return pairs, capped
+
+
+def embedding_blocks(
+    vertices: DataFrame,
+    name_embeddings: DataFrame,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane SimHash LSH blocks over name-embedding vectors.
+
+    The reference's embedding fallback brute-scans every canonical node of
+    the type (resolution.py:204-215) — O(n) per mention, impossible at
+    scale. SimHash-LSH preserves its *decision* (cosine ≥ 0.83 pairs are
+    near-certain to share a band: at θ ≈ 34° the per-bit agreement is
+    1-θ/π ≈ 0.81, and 4 bands of 4 bits give ≥1 collision w.h.p. for the
+    near-duplicate vectors the threshold actually admits) while bounding
+    candidates per mention. Hyperplanes are a deterministic function of
+    (seed, dimension), so blocking is reproducible across runs/executors.
+
+    Returns the same (block_key, node_id, entity_type, name, norm) shape as
+    ``build_blocks``; union the two before ``candidate_pairs``.
+    """
+    rows = n_planes // bands
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _keys(etype: pd.Series, vecs: pd.Series) -> pd.Series:
+        planes_by_dim: dict[int, np.ndarray] = {}
+        out = []
+        for t, v in zip(etype, vecs):
+            if v is None or len(v) == 0:
+                out.append([])
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            dim = arr.shape[0]
+            planes = planes_by_dim.get(dim)
+            if planes is None:
+                rng = np.random.default_rng(seed * 100_003 + dim)
+                planes = rng.standard_normal((n_planes, dim))
+                planes_by_dim[dim] = planes
+            bits = (planes @ arr >= 0).astype(np.uint8)
+            keys = []
+            for b in range(bands):
+                sig = "".join(map(str, bits[b * rows : (b + 1) * rows]))
+                keys.append(f"e{b}|{t}|{sig}")
+            out.append(keys)
+        return pd.Series(out)
+
+    with_vec = vertices.join(
+        F.broadcast(name_embeddings.select("name", "vector")), "name"
+    )
+    return with_vec.select(
+        F.explode(_keys(F.col("entity_type"), F.col("vector"))).alias("block_key"),
+        "node_id",
+        "entity_type",
+        "name",
+        "norm",
+    )

@@ -43,9 +43,13 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 
 def _signature(edges: DataFrame) -> tuple[int, int]:
+    # hash sum in decimal(38) — ANSI mode would overflow a long sum
     row = edges.select(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+            F.lit(0).cast("decimal(38,0)"),
+        ).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
 

@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from neuronews_spark.checkpoint import StageCheckpoint
 from neuronews_spark.lineage import LineageWriter
-from neuronews_spark.operators.blocking import build_blocks, candidate_pairs
+from neuronews_spark.operators.blocking import (
+    build_blocks,
+    candidate_pairs,
+    embedding_blocks,
+)
 from neuronews_spark.operators.canonicalize import (
     accumulate_provenance,
     build_entities,
@@ -133,6 +137,10 @@ class EntityResolutionPipeline:
                 n_hashes=cfg.minhash_hashes,
                 bands=cfg.minhash_bands,
             )
+            if name_embeddings is not None:
+                blocks = blocks.unionByName(
+                    embedding_blocks(vertices, name_embeddings)
+                )
             pairs, capped = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
             if self.lineage is not None:
                 self.lineage.frame(
@@ -214,3 +222,70 @@ def resolve_entities(
     """One-call convenience: transcripts → canonical entities DataFrame."""
     pipe = EntityResolutionPipeline(spark, config)
     return pipe.run(transcripts, name_embeddings=name_embeddings).entities
+
+
+@dataclass
+class ResolutionResult:
+    vertices: DataFrame
+    pairs: DataFrame
+    edges: DataFrame
+    components: DataFrame
+    entities: DataFrame
+    id_map: DataFrame
+
+
+def resolve_from_mentions(
+    spark: SparkSession,
+    mentions: DataFrame,
+    name_embeddings: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+) -> ResolutionResult:
+    """Resolution sub-pipeline entered at the typed-mention level —
+    mentions(conv_id, mention_idx, name, entity_type) — the level the
+    reference's resolver API and its labeled tests operate at
+    (test_entity_resolution.py drives ``EntityResolver.resolve`` directly).
+
+    Adds norm/node_id if missing, then blocking → scoring → clustering →
+    canonical entities.
+    """
+    from neuronews_spark.functions.normalize import node_id as node_id_col
+    from neuronews_spark.functions.normalize import normalize_name
+
+    cfg = config or PipelineConfig()
+    m = mentions
+    if "norm" not in m.columns:
+        m = m.withColumn("norm", normalize_name(F.col("name"), F.col("entity_type")))
+    m = m.filter(F.col("norm") != "")
+    if "node_id" not in m.columns:
+        m = m.withColumn("node_id", node_id_col(F.col("entity_type"), F.col("name")))
+
+    vertices = distinct_vertices(m)
+    blocks = build_blocks(
+        vertices, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
+    )
+    if name_embeddings is not None:
+        blocks = blocks.unionByName(embedding_blocks(vertices, name_embeddings))
+    pairs, _capped = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
+    scored = score_pairs(pairs, cfg.scoring)
+    edges = matched_edges(scored)
+    if name_embeddings is not None:
+        edges = edges.unionByName(
+            score_embedding_pairs(
+                scored.filter(~F.col("matched")), name_embeddings, cfg.scoring
+            )
+        )
+    components = components_for_vertices(
+        vertices.select("node_id"),
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        max_iterations=cfg.max_cc_iterations,
+    )
+    entities = build_entities(vertices, components)
+    id_map = build_id_map(components, entities)
+    return ResolutionResult(
+        vertices=vertices,
+        pairs=pairs,
+        edges=edges,
+        components=components,
+        entities=entities,
+        id_map=id_map,
+    )
