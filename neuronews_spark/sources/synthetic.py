@@ -90,11 +90,18 @@ def make_families(seed: int = 42, n_person: int = 24, n_org: int = 16, n_concept
     # order-dependent there; generated families below avoid shared surnames.
     for i in range(n_person):
         given, surname = _cap(fresh()), _cap(fresh(3))
+        has_negative = i % 3 == 0
         variants = [f"{given} {surname}", f"{given[0]}. {surname}"]
-        if i % 2 == 0:
-            variants.append(surname)  # bare surname only when unambiguous
+        # a bare-surname variant is only planted when the surname is unique
+        # to this family: with a same-surname negative present, the bare
+        # surname is *ambiguous* and the greedy reference itself becomes
+        # insertion-order-dependent (it joins whichever cluster came first,
+        # resolution.py:171-179) — no order-free pipeline can match an
+        # order-dependent label, so the labeled corpus excludes the case
+        if i % 2 == 0 and not has_negative:
+            variants.append(surname)
         fams.append(Family(f"p{i}", "Person", tuple(variants)))
-        if i % 3 == 0:  # same-surname negative: must NOT merge
+        if has_negative:  # same-surname negative: must NOT merge
             other = _cap(fresh())
             fams.append(Family(f"p{i}_neg", "Person", (f"{other} {surname}",)))
     for i in range(n_org):
