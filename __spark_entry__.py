@@ -1,38 +1,602 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-resolution pipeline on
+transcripts deterministically derived from sf0.001 ``documents.parquet``;
+``queries()`` exposes the operator inventory of SURVEY.md §2 (each entry a
+(spark, sf_dir) -> DataFrame callable); ``oracle_sql()`` gives the DuckDB
+mirror for every SQL-expressible query (identical column names/semantics —
+the driver value-hashes both sides). Non-SQL-expressible operators (the ER
+pipeline itself, LSH/xxhash-based dedup, IVF ANN, pandas-UDF extraction)
+are registered without an oracle → rows-only check.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SF = os.path.join(os.path.dirname(_REPO), "testdata", "sf0.001")
+if not os.path.isdir(DEFAULT_SF):
+    DEFAULT_SF = "/root/testdata/sf0.001"
+
+_shipped_sessions: set[int] = set()
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    """Pin oracle-compatible session settings and ship the package to
+    executors (the driver may run us from any cwd)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    key = id(spark)
+    if key not in _shipped_sessions:
+        _shipped_sessions.add(key)
+        try:
+            import shutil
+            import tempfile
+
+            zip_base = os.path.join(tempfile.gettempdir(), "neuronews_spark_pkg")
+            zip_path = shutil.make_archive(
+                zip_base, "zip", root_dir=_REPO, base_dir="neuronews_spark"
+            )
+            spark.sparkContext.addPyFile(zip_path)
+        except Exception:
+            pass  # local mode with repo on sys.path still works
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Transcript derivation: documents → (conv_id, turn_idx, role, text, tool, ts)
+# ---------------------------------------------------------------------------
+
+TURN_WORDS = 8
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str, plant: bool = True) -> DataFrame:
+    """Deterministically derive the BASELINE input-shaped transcript table
+    from the driver's documents.parquet: each document becomes one
+    conversation, its text split into 8-word turns; entity surface forms
+    are planted as a pure function of (doc_id, turn_idx)."""
+    from neuronews_spark.sources.synthetic import _text_pools
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    n_turns = F.ceil(F.size(words) / F.lit(TURN_WORDS)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_turns - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i * TURN_WORDS + 1, TURN_WORDS), " "),
+    )
+    t = docs.select(
+        F.concat(F.lit("conv_"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.col("doc_id"),
+        F.posexplode(chunks).alias("turn_idx", "chunk"),
+    )
+    if plant:
+        pool, _v = _text_pools(42)
+        surfaces = F.array(*[F.lit(s) for s in pool])
+        h = F.pmod(F.xxhash64(F.col("doc_id"), F.col("turn_idx")), F.lit(2**31))
+        planted = F.when(
+            h % 3 == 0,
+            F.concat_ws(
+                " ",
+                F.col("chunk"),
+                F.lit("we discussed"),
+                F.element_at(surfaces, (h % F.lit(len(pool)) + 1).cast("int")),
+                F.lit("today"),
+            ),
+        ).otherwise(F.col("chunk"))
+    else:
+        planted = F.col("chunk")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    role = F.element_at(roles, (F.col("turn_idx") % 3 + 1).cast("int"))
+    return t.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        role.alias("role"),
+        planted.alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit(None)).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") * 1000 + F.col("turn_idx")
+        ).alias("ts"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (assemble → extract → block → score →
+    cluster → canonical entities) on transcripts derived from sf0.001."""
+    _prep(spark)
+    from neuronews_spark.pipeline import EntityResolutionPipeline
+
+    transcripts = derived_transcripts(spark, DEFAULT_SF, plant=True)
+    result = EntityResolutionPipeline(spark).run(transcripts)
+    return result.entities.select(
+        "entity_id", "entity_type", "name", "n_surfaces", "n_mentions"
+    ).orderBy("entity_id")
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
+
+_EN = ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are"]
+_DE = ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"]
+_FR = ["le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que", "des", "du"]
+_ES = ["el", "la", "los", "las", "y", "es", "no", "por", "para", "una", "que", "de"]
+
+_KW_STOPS = ["the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by", "a", "an"]
+_FUZZY_STOPS = ["the", "a", "an", "and", "or", "but", "in", "on", "at", "to",
+                "for", "o", "with", "by", "is", "are", "was", "were"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _sql_in(words: list[str]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+# ---- SQL-expressible queries ----------------------------------------------
+
+def q_latest_event_per_user_type(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.aggregates import latest_per_key
+
+    ev = _t(spark, sf, "events")
+    return latest_per_key(ev, ["user_id", "event_type"], "ts", "event_id").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+
+
+def q_dim_user_activity(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    cat = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "error")
+        .otherwise(F.lit("engagement"))
+    )
+    return ev.groupBy("user_id", "event_type").agg(
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    ).withColumn("category", cat)
+
+
+def q_duplicate_audit(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.aggregates import duplicate_audit
+
+    return duplicate_audit(_t(spark, sf, "orders"), "o_custkey")
+
+
+def q_trend_7d_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.aggregates import trend_moving_avg
+
+    return trend_moving_avg(_t(spark, sf, "events"), group_col="event_type").select(
+        "event_type", "day", "avg_value", "n_events", "moving_avg"
+    )
+
+
+def q_top3_events_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.aggregates import top_k_per_group
+
+    ev = _t(spark, sf, "events").select("user_id", "event_id", "value")
+    return top_k_per_group(ev, "user_id", "value", 3, "event_id")
+
+
+def q_cooccurrence_events(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.aggregates import cooccurrence_pairs
+
+    ev = _t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        # parquet ts is TIMESTAMP_NTZ; session tz is pinned UTC so the
+        # two-step cast yields the same epoch seconds DuckDB's epoch() gives
+        F.col("ts").cast("timestamp").cast("double").alias("pos"),
+    )
+    return cooccurrence_pairs(ev, "user_id", "event_id", "pos", max_distance=500.0)
+
+
+def q_sentiment_docs(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import rule_sentiment
+
+    d = _t(spark, sf, "documents")
+    score, label = rule_sentiment(F.col("text"))
+    return d.select(
+        "doc_id", score.alias("sentiment_score"), label.alias("sentiment_label")
+    )
+
+
+def q_keywords_top10(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import keyword_counts
+
+    return keyword_counts(_t(spark, sf, "documents"), "text", top_k=10)
+
+
+def q_fuzzy_sort_keys(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.functions.normalize import fuzzy_sort_key
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", fuzzy_sort_key(F.col("text")).alias("fuzzy_key")
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_alpha.cast("double") / n_chars, 6).alias("alpha_ratio"),
+        F.round(n_chars.cast("double") / n_tokens, 6).alias("avg_word_len"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import language_id
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    )
+
+
+def q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1))),
+        lambda i: F.md5(F.substring(F.col("text"), i, 8)),
+    )
+    return d.select("doc_id", F.array_min(grams).alias("fp"))
+
+
+def q_token_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        block_col="source", n=1, threshold=0.9,
+    )
+
+
+def q_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.similarity_search import cosine_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_assemble_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.conversations import assemble_conversations
+
+    t = derived_transcripts(spark, sf, plant=False)
+    return assemble_conversations(t).select("conv_id", "doc_text", "n_turns")
+
+
+# ---- rows-only queries (non-SQL-expressible) --------------------------------
+
+def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.pipeline import EntityResolutionPipeline
+
+    transcripts = derived_transcripts(spark, sf, plant=True)
+    res = EntityResolutionPipeline(spark).run(transcripts)
+    return res.entities.select(
+        "entity_id", "entity_type", "name", "n_surfaces", "n_mentions"
+    )
+
+
+def q_mention_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import extract_mentions
+
+    t = derived_transcripts(spark, sf, plant=True)
+    return extract_mentions(assemble_conversations(t)).select(
+        "conv_id", "mention_idx", "name", "entity_type", "norm", "node_id"
+    )
+
+
+def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.dedup import minhash_near_duplicates
+
+    return minhash_near_duplicates(
+        _t(spark, sf, "documents"), "doc_id", "text", jaccard_threshold=0.9
+    )
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.dedup import simhash_near_duplicates
+
+    return simhash_near_duplicates(
+        _t(spark, sf, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.similarity_search import ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.multimodal import decode_features, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    return decode_features(media).select("media_id", "modality", "n_bytes")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "latest_event_per_user_type": q_latest_event_per_user_type,
+        "dim_user_activity": q_dim_user_activity,
+        "duplicate_audit": q_duplicate_audit,
+        "trend_7d_moving_avg": q_trend_7d_moving_avg,
+        "top3_events_per_user": q_top3_events_per_user,
+        "cooccurrence_events": q_cooccurrence_events,
+        "sentiment_docs": q_sentiment_docs,
+        "keywords_top10": q_keywords_top10,
+        "fuzzy_sort_keys": q_fuzzy_sort_keys,
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint_md5": q_fingerprint_md5,
+        "token_jaccard_dups": q_token_jaccard_dups,
+        "cosine_top5": q_cosine_top5,
+        "tpch_q1": q_tpch_q1,
+        "assemble_roundtrip": q_assemble_roundtrip,
+        # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
+        "entity_resolution": q_entity_resolution,
+        "mention_extraction": q_mention_extraction,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "ivf_topk": q_ivf_topk,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
+    neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
+    return {
+        "latest_event_per_user_type": """
+            SELECT user_id, event_type, event_id, ts, value
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "dim_user_activity": """
+            SELECT user_id, event_type,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n_events,
+                   min(ts) AS first_seen,
+                   max(ts) AS last_seen,
+                   CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                        WHEN event_type = 'error' THEN 'error'
+                        ELSE 'engagement' END AS category
+            FROM events GROUP BY user_id, event_type
+        """,
+        "duplicate_audit": """
+            SELECT o_custkey, count(*) AS cnt
+            FROM orders GROUP BY o_custkey HAVING count(*) > 1
+        """,
+        "trend_7d_moving_avg": """
+            WITH daily AS (
+              SELECT event_type, date_trunc('day', ts)::timestamp AS day,
+                     round(avg(value), 6) AS avg_value,
+                     count(*) AS n_events
+              FROM events GROUP BY 1, 2)
+            SELECT event_type, day, avg_value, n_events,
+                   round(avg(avg_value) OVER (
+                     PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+            FROM daily
+        """,
+        "top3_events_per_user": """
+            SELECT user_id, event_id, value, rank FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY value DESC, event_id ASC) AS rank
+              FROM events)
+            WHERE rank <= 3
+        """,
+        "cooccurrence_events": """
+            SELECT a.user_id AS doc, a.event_id AS id_a, b.event_id AS id_b,
+                   round(abs(epoch(a.ts) - epoch(b.ts)), 6) AS distance,
+                   round(1.0 - abs(epoch(a.ts) - epoch(b.ts)) / 500.0, 6) AS strength
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+            WHERE abs(epoch(a.ts) - epoch(b.ts)) <= 500.0
+        """,
+        "sentiment_docs": f"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(lower(text), '{pos_re}') THEN 0.7
+                        WHEN regexp_matches(lower(text), '{neg_re}') THEN 0.3
+                        ELSE 0.5 END AS sentiment_score,
+                   CASE WHEN regexp_matches(lower(text), '{pos_re}') THEN 'positive'
+                        WHEN regexp_matches(lower(text), '{neg_re}') THEN 'negative'
+                        ELSE 'neutral' END AS sentiment_label
+            FROM documents
+        """,
+        "keywords_top10": f"""
+            SELECT keyword, count(*) AS n FROM (
+              SELECT unnest(list_filter(
+                       list_transform(
+                         list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                         x -> lower(x)),
+                       x -> x NOT IN {_sql_in(_KW_STOPS)} AND length(x) > 2)) AS keyword
+              FROM documents)
+            GROUP BY keyword ORDER BY n DESC, keyword ASC LIMIT 10
+        """,
+        "fuzzy_sort_keys": f"""
+            SELECT doc_id,
+                   array_to_string(list_sort(list_filter(
+                     string_split(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g')), ' '),
+                     x -> x <> '' AND x NOT IN {_sql_in(_FUZZY_STOPS)})), ' ')
+                   AS fuzzy_key
+            FROM documents
+        """,
+        "exact_dup_groups": """
+            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+                   array_to_string(list_sort(list(doc_id::varchar)), ',') AS doc_ids
+            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::double
+                         / length(text), 6) AS alpha_ratio,
+                   round(length(text)::double
+                         / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 6)
+                     AS avg_word_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> lower(x)) AS t
+              FROM documents),
+            langs(lang, words) AS (VALUES
+              ('en', {_sql_list(_EN)}), ('de', {_sql_list(_DE)}),
+              ('fr', {_sql_list(_FR)}), ('es', {_sql_list(_ES)})),
+            scored AS (
+              SELECT doc_id, lang,
+                     len(list_filter(t, x -> list_contains(words, x))) AS hits
+              FROM toks CROSS JOIN langs)
+            SELECT doc_id,
+                   CASE WHEN hits = 0 THEN 'und' ELSE lang END AS lang
+            FROM (SELECT doc_id, lang, hits, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY hits DESC, lang DESC) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(1, greatest(length(text) - 7, 1) + 1),
+                     i -> md5(substring(text, i::int, 8)))) AS fp
+            FROM documents
+        """,
+        "token_jaccard_dups": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> lower(x))) AS toks
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.toks, b.toks))::double
+                         / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard
+            FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.toks, b.toks))::double
+                  / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """,
+        "cosine_top5": """
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                     round(list_cosine_similarity(
+                       v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                       v.vec_id ASC) AS rank
+              FROM embeddings v CROSS JOIN
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+            WHERE rank <= 5
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "assemble_roundtrip": """
+            SELECT 'conv_' || doc_id::varchar AS conv_id,
+                   text AS doc_text,
+                   greatest(ceil(len(list_filter(string_split_regex(text, '\\s+'),
+                     x -> x <> ''))::double / 8.0), 1)::bigint AS n_turns
+            FROM documents
+        """,
+    }

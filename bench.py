@@ -1,0 +1,148 @@
+"""Benchmark entry point (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "er": {"n_turns": N, "turns_per_sec": T},
+   "scaling": {"cores_n": 8, "cores_4n": 32,
+               "turns_per_sec_n": ..., "turns_per_sec_4n": ...,
+               "efficiency": ...}}
+
+The scaling block evidences the north rule's two-cluster-size criterion in
+this sandbox: the identical ER job runs at local[N] and local[4N] on the
+same input; efficiency = (throughput_4N / throughput_N) / 4.
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip that block (quick iteration).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 300_000))
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 150_000))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "latest_event_per_user_type",
+    "dim_user_activity",
+    "trend_7d_moving_avg",
+    "cooccurrence_events",
+    "token_jaccard_dups",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "cosine_top5",
+    "fingerprint_md5",
+    "assemble_roundtrip",
+    "mention_extraction",
+    "entity_resolution",
+]
+
+
+def _session(cores: int) -> SparkSession:
+    return (
+        SparkSession.builder.appName(f"neuronews-bench-{cores}")
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _run_er_job(spark: SparkSession, n_turns: int) -> tuple[float, int]:
+    """The scaling workload: full ER pipeline over synthetic transcripts.
+    Returns (seconds, n_entities)."""
+    from neuronews_spark.pipeline import EntityResolutionPipeline
+    from neuronews_spark.sources.synthetic import synthetic_transcripts
+
+    transcripts = synthetic_transcripts(
+        spark, n_turns=n_turns, turns_per_conv=20
+    )
+    t0 = time.perf_counter()
+    result = EntityResolutionPipeline(spark).run(transcripts)
+    n_entities = result.entities.count()
+    _ = result.mention_edges.count()
+    return time.perf_counter() - t0, n_entities
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+
+    spark = _session(CPUS)
+    try:
+        for name in BENCH_QUERIES:
+            if name not in queries:
+                continue
+            t0 = time.perf_counter()
+            df = queries[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        er_t, _n_ents = _run_er_job(spark, ER_TURNS)
+        er = {
+            "n_turns": ER_TURNS,
+            "sec": round(er_t, 3),
+            "turns_per_sec": round(ER_TURNS / er_t, 1),
+        }
+    finally:
+        spark.stop()
+
+    scaling = None
+    if not SKIP_SCALING:
+        n_cores = max(CPUS // 4, 1)
+        tps = {}
+        for cores in (n_cores, CPUS):
+            s = _session(cores)
+            try:
+                sec, _ = _run_er_job(s, SCALING_TURNS)
+            finally:
+                s.stop()
+            tps[cores] = SCALING_TURNS / sec
+        eff = (tps[CPUS] / tps[n_cores]) / (CPUS / n_cores)
+        scaling = {
+            "cores_n": n_cores,
+            "cores_4n": CPUS,
+            "n_turns": SCALING_TURNS,
+            "turns_per_sec_n": round(tps[n_cores], 1),
+            "turns_per_sec_4n": round(tps[CPUS], 1),
+            "efficiency": round(eff, 3),
+        }
+
+    out = {
+        "metric": "er_pipeline_and_operator_suite",
+        "value": round(sum(timings.values()) + er["sec"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "er": er,
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,224 @@
+"""Deduplication suite for the training-data pipeline.
+
+Exact dedup mirrors the reference's content-hash / normalized-title caches
+(``data_validation_pipeline.py:188-246``) as set operations; near-dup
+mirrors its fuzzy sorted-token key + similarity check (``:227-280``) but
+re-expressed as LSH so it scales: MinHash over token shingles, SimHash with
+banded Hamming buckets, and verified n-gram Jaccard — all shuffle-bounded
+(candidates come from bucket joins, never an all-pairs scan).
+
+Everything here is pure Column math (higher-order functions + xxhash64);
+the only wide ops are groupBys/joins keyed on content hashes or LSH bands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from neuronews_spark.functions.normalize import (
+    minhash_band_keys,
+    token_shingles,
+)
+from neuronews_spark.operators.text_stats import ws_tokens
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical texts: (content_hash, n_docs, doc_ids),
+    only groups with >1 member (the duplicate audit shape,
+    upsert_enriched.py:209-227 ``GROUP BY ... HAVING count > 1``)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep exactly one representative (min id) per identical text —
+    deterministic, unlike ``dropDuplicates`` which keeps an arbitrary row."""
+    w = df.withColumn("_h", F.md5(F.col(text_col)))
+    keep = w.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["_h", id_col]).drop("_h")
+
+
+# ------------------------------------------------------------- jaccard
+
+def token_jaccard(a: Column, b: Column) -> Column:
+    """Token-set Jaccard — semantics of the reference's
+    semantic_analyzer.py:406-418, as Column math."""
+    sa, sb = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.8,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, verified with exact token-shingle
+    Jaccard: (id_a, id_b, jaccard).
+
+    LSH proposes candidates (any shared band ⇒ ~certain for J ≥ 0.8 with
+    32 hashes × 8 bands); exact Jaccard verification removes false bucket
+    collisions, so output quality does not depend on LSH tuning — only
+    recall does. Oversized buckets are dropped (skew cap), as in blocking.
+    """
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(token_shingles(F.array_join(toks, " "), n=shingle_n)).alias(
+            "shingles"
+        ),
+    ).filter(F.size("shingles") > 0)
+
+    keyed = base.select(
+        "doc",
+        "shingles",
+        F.explode(
+            minhash_band_keys(F.col("shingles"), n_hashes=n_hashes, bands=bands, prefix="d")
+        ).alias("bucket"),
+    )
+    sizes = keyed.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+    keyed = keyed.join(sizes.select("bucket"), "bucket")
+
+    a = keyed.select(
+        "bucket", F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = keyed.select(
+        "bucket", F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash64(tokens_col: Column) -> Column:
+    """64-bit SimHash of a token array, as pure Column bit math: for each
+    bit position the signed vote is summed over token xxhash64 values."""
+    # votes[b] = sum over tokens of (bit b set ? +1 : -1)
+    # = 2 * count(bit set) - n
+    n = F.size(tokens_col)
+
+    def _bit_set(b: int):
+        # single-arg lambda factory: a two-parameter lambda would be treated
+        # by F.filter as its (element, index) form
+        return lambda t: (
+            F.shiftrightunsigned(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
+        )
+
+    bits = []
+    for b in range(64):
+        set_count = F.size(F.filter(tokens_col, _bit_set(b)))
+        bit = F.when((set_count * 2) > n, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bits.append(F.shiftleft(bit, b))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out.bitwiseOR(x)
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 500,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming ≤ max_hamming).
+
+    Bucketing by the 4 16-bit bands of the signature: two signatures within
+    Hamming distance 3 must agree on ≥1 band (pigeonhole), so the band join
+    is a lossless candidate generator for max_hamming ≤ 3."""
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
+    sigs = df.select(F.col(id_col).alias("doc"), simhash64(toks).alias("sig")).filter(
+        F.size(ws_tokens(F.col(text_col))) > 0
+    )
+    bands = []
+    for b in range(4):
+        bands.append(
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                F.shiftrightunsigned(F.col("sig"), b * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .cast("string"),
+            )
+        )
+    keyed = sigs.select("doc", "sig", F.explode(F.array(*bands)).alias("bucket"))
+    ok = keyed.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
+    keyed = keyed.join(ok.select("bucket"), "bucket")
+
+    a = keyed.select("bucket", F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    b2 = keyed.select("bucket", F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = (
+        a.join(b2, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked n-gram Jaccard similarity pairs (id_a, id_b, jaccard ≥ t).
+    ``block_col`` (e.g. source) bounds the self-join; None = single block
+    (only for small corpora/tests)."""
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
+    grams = F.array_distinct(token_shingles(F.array_join(toks, " "), n=n))
+    base = df.select(
+        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
+        F.col(id_col).alias("doc"),
+        grams.alias("grams"),
+    ).filter(F.size("grams") > 0)
+    a = base.select("blk", F.col("doc").alias("id_a"), F.col("grams").alias("g_a"))
+    b = base.select("blk", F.col("doc").alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(token_jaccard(F.col("g_a"), F.col("g_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,148 @@
+"""Text-analysis operators for the large-scale training-data pipeline:
+language ID, quality scoring, token counting, fingerprinting, rule-based
+sentiment — all pure Column expressions (whole-stage codegen, no UDFs),
+each designed so an equivalent ANSI-SQL oracle exists for DuckDB.
+
+Sentiment semantics are a port of the reference's rule-based enrichment
+(``/root/reference/jobs/spark/upsert_enriched.py:87-110``: positive-word
+rlike → 0.7, negative → 0.3, else 0.5; label by 0.6/0.4 cuts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+POSITIVE_WORDS = ["good", "great", "excellent", "amazing", "wonderful", "fantastic", "positive"]
+NEGATIVE_WORDS = ["bad", "terrible", "awful", "horrible", "negative", "disappointing"]
+
+# language-ID stopword profiles (tiny n-gram-free heuristic: fraction of
+# tokens hitting each language's closed-class word list)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "was", "on", "are"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "dans", "une", "que", "des", "du"],
+    "es": ["el", "la", "los", "las", "y", "es", "no", "por", "para", "una", "que", "de"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.filter(F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token estimate: word-piece regex splits on non-alnum and
+    camel boundaries; a cheap stand-in for a BPE tokenizer's token count."""
+    pieces = F.filter(
+        F.split(
+            F.regexp_replace(F.coalesce(text, F.lit("")), r"([^\w]|_)+", " "),
+            r"\s+",
+        ),
+        lambda t: t != F.lit(""),
+    )
+    # ~4 chars/token heuristic within each word piece, at least 1 per piece
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.greatest(F.ceil(F.length(p) / 4).cast("int"), F.lit(1)),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0,1]:
+    length, token stats, punctuation ratio, stopword ratio, alpha ratio.
+    Deterministic Column math (mirrors typical corpus-quality filters)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]]", ""))
+    en_stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(en_stops, F.lower(x))))
+    avg_word_len = F.when(n_tokens > 0, n_chars / n_tokens).otherwise(F.lit(0.0))
+
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+
+    # composite: reward alpha-heavy, some stopwords, sane word length
+    score = (
+        F.least(n_tokens / F.lit(20.0), F.lit(1.0)) * 0.25
+        + alpha_ratio * 0.25
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.25
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 10), 0.25).otherwise(0.0)
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tokens.alias("q_n_tokens"),
+        F.round(alpha_ratio, 6).alias("q_alpha_ratio"),
+        F.round(punct_ratio, 6).alias("q_punct_ratio"),
+        F.round(stop_ratio, 6).alias("q_stop_ratio"),
+        F.round(score, 6).alias("q_score"),
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Heuristic language ID: language with the highest stopword hit count;
+    'und' (undetermined) when nothing hits."""
+    toks = F.transform(ws_tokens(text), lambda x: F.lower(x))
+    scores = []
+    for lang, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column, ngram: int = 5) -> Column:
+    """Document fingerprint: minimum xxhash64 over character n-gram shingles
+    (a 1-permutation MinHash — robust to local edits, O(len) to compute)."""
+    s = F.coalesce(text, F.lit(""))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (ngram - 1), F.lit(1))),
+        lambda i: F.substring(s, i, ngram),
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def rule_sentiment(text: Column) -> tuple[Column, Column]:
+    """(score, label) — exact port of upsert_enriched.py:87-110."""
+    lower = F.lower(F.coalesce(text, F.lit("")))
+    pos_re = r"\b(" + "|".join(POSITIVE_WORDS) + r")\b"
+    neg_re = r"\b(" + "|".join(NEGATIVE_WORDS) + r")\b"
+    score = (
+        F.when(lower.rlike(pos_re), F.lit(0.7))
+        .when(lower.rlike(neg_re), F.lit(0.3))
+        .otherwise(F.lit(0.5))
+    )
+    label = (
+        F.when(score > 0.6, "positive")
+        .when(score < 0.4, "negative")
+        .otherwise(F.lit("neutral"))
+    )
+    return score, label
+
+
+def keyword_counts(df: DataFrame, text_col: str = "text", top_k: int = 10) -> DataFrame:
+    """Corpus keyword extraction: tokenize, drop stop words + short words
+    (upsert_enriched.py:123-134 semantics), count, global top-k."""
+    stops = ["the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by", "a", "an"]
+    toks = F.filter(
+        F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x)),
+        lambda x: (~x.isin(stops)) & (F.length(x) > 2),
+    )
+    return (
+        df.select(F.explode(toks).alias("keyword"))
+        .groupBy("keyword")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("keyword"))
+        .limit(top_k)
+    )
