@@ -1,0 +1,103 @@
+"""Structured-Streaming ingest: watermark dedup + exactly-once merge sink.
+
+Re-creates the reference's streaming path over any streaming source:
+
+  * watermark + key dedup   stream_write_raw.py:105-109
+    (``withWatermark(ts, '2 hours')`` → drop duplicate ids; late events
+    beyond the watermark are dropped — test_watermark_deduplication.py
+    semantics: ≤1 row per key survives, >2h-late rows never land)
+  * exactly-once foreachBatch MERGE   stream_write_raw_exactly_once.py:132-173
+    (idempotent per-micro-batch MERGE keyed by id — here backed by the
+    ParquetCatalog merge_upsert, identical SQL against a real Iceberg
+    catalog)
+  * Kafka JSON parsing   stream_write_raw_exactly_once.py:88-120
+    (``from_json`` with an explicit schema + flatten — provided as a
+    transformation usable on any source that yields a ``value`` column)
+
+Local tests drive these with a file source + ``maxFilesPerTrigger=1`` so
+each fixture file becomes one micro-batch (the late-data scenario needs
+multiple batches to advance the watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from neuronews_spark.sources.tables import ParquetCatalog
+
+ARTICLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("published_at", T.TimestampType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+
+def parse_json_stream(raw: DataFrame, schema: T.StructType = ARTICLE_SCHEMA) -> DataFrame:
+    """Kafka-style value parsing: cast value → from_json → flatten +
+    processing timestamp (stream_write_raw_exactly_once.py:88-120)."""
+    return (
+        raw.select(F.from_json(F.col("value").cast("string"), schema).alias("r"))
+        .select("r.*")
+        .withColumn("processed_at", F.current_timestamp())
+    )
+
+
+def watermark_dedup(
+    stream: DataFrame,
+    ts_col: str = "published_at",
+    key: str = "id",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """stream_write_raw.py:105-109: watermark + per-key dedup. Uses
+    ``dropDuplicatesWithinWatermark`` so the dedup state is evicted once the
+    watermark passes (bounded state at 10^12-turn scale)."""
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark([key])
+
+
+def start_dedup_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    ts_col: str = "published_at",
+    key: str = "id",
+    delay: str = "2 hours",
+) -> StreamingQuery:
+    """Test/demo sink: deduped stream → in-memory table."""
+    deduped = watermark_dedup(stream, ts_col=ts_col, key=key, delay=delay)
+    return (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def start_exactly_once_merge(
+    stream: DataFrame,
+    catalog: ParquetCatalog,
+    table: str,
+    key: str = "id",
+    dedup_order: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> StreamingQuery:
+    """Exactly-once sink: every micro-batch MERGEs into the target keyed by
+    ``key`` (stream_write_raw_exactly_once.py:132-173). Re-delivered batches
+    re-merge the same keys → idempotent; the checkpoint makes restarts
+    resume from the last committed offset."""
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        catalog.merge_upsert(table, batch, key=key, dedup_order=dedup_order)
+
+    writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -1,0 +1,145 @@
+"""Lakehouse merge-upsert + streaming watermark-dedup semantics — ports of
+the reference's pipeline DoD tests (test_upsert_idempotency.py,
+test_watermark_deduplication.py:44-91,160-186)."""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timedelta
+
+import pytest
+
+from neuronews_spark.sources.tables import ParquetCatalog
+from neuronews_spark.streaming.ingest import (
+    start_dedup_to_memory,
+    start_exactly_once_merge,
+)
+
+T0 = datetime(2026, 1, 10, 12, 0, 0)
+
+
+# ------------------------------------------------------------------ tables
+
+def test_merge_upsert_insert_then_update_version(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    batch1 = spark.createDataFrame(
+        [("a", "t1", 1.0), ("b", "t2", 2.0)], "id string, title string, score double"
+    )
+    cat.merge_upsert("enriched", batch1, key="id", version_col="version")
+    t = {r["id"]: r for r in cat.read("enriched").collect()}
+    assert t["a"]["version"] == 1 and t["b"]["version"] == 1
+
+    # re-upsert a (matched → overwrite + version bump), insert c
+    batch2 = spark.createDataFrame(
+        [("a", "t1-new", 9.0), ("c", "t3", 3.0)], "id string, title string, score double"
+    )
+    cat.merge_upsert("enriched", batch2, key="id", version_col="version")
+    t = {r["id"]: r for r in cat.read("enriched").collect()}
+    assert t["a"]["version"] == 2 and t["a"]["title"] == "t1-new"
+    assert t["b"]["version"] == 1  # untouched
+    assert t["c"]["version"] == 1
+    # idempotency audit: no duplicate keys (upsert_enriched.py:209-227)
+    assert cat.duplicate_audit("enriched", "id").count() == 0
+
+
+def test_merge_upsert_dedups_source_latest_per_key(spark, tmp_path):
+    # CDC pre-aggregation semantics (cdc_to_iceberg.py:197-240): when a
+    # micro-batch contains several versions of one key, only the one with
+    # max ts_ms lands
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame(
+        [("k", "old", 100), ("k", "new", 200)], "id string, v string, ts_ms long"
+    )
+    cat.merge_upsert("cdc", batch, key="id", dedup_order="ts_ms")
+    rows = cat.read("cdc").collect()
+    assert len(rows) == 1 and rows[0]["v"] == "new"
+
+
+def test_merge_upsert_rerun_is_idempotent(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "wh"))
+    batch = spark.createDataFrame([("a", 1.0)], "id string, x double")
+    cat.merge_upsert("t", batch, key="id")
+    cat.merge_upsert("t", batch, key="id")
+    assert cat.read("t").count() == 1
+    assert cat.duplicate_audit("t", "id").count() == 0
+
+
+# --------------------------------------------------------------- streaming
+
+def _write_batch_file(spark, path: str, rows, name: str) -> None:
+    df = spark.createDataFrame(
+        rows, "id string, published_at timestamp, title string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, name))
+
+
+def test_watermark_dedup_keeps_at_most_one_row_per_key(spark, tmp_path):
+    """Port of test_watermark_deduplication.py:44-91: duplicate ids across
+    micro-batches collapse; events > 2h late are dropped."""
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    # batch 1: fresh events (watermark advances to max-2h)
+    _write_batch_file(
+        spark, src,
+        [("k1", T0, "first"), ("k2", T0 + timedelta(minutes=5), "other")],
+        "b1",
+    )
+    stream = (
+        spark.readStream.schema("id string, published_at timestamp, title string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = start_dedup_to_memory(stream, "dedup_out")
+    try:
+        q.processAllAvailable()
+        # batch 2: a duplicate of k1 (within watermark) and a 3h-late event
+        _write_batch_file(
+            spark, src,
+            [
+                ("k1", T0 + timedelta(minutes=10), "dup-within"),
+                ("k3", T0 - timedelta(hours=3), "too-late"),
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM dedup_out").collect()
+    finally:
+        q.stop()
+    by_key: dict[str, int] = {}
+    for r in rows:
+        by_key[r["id"]] = by_key.get(r["id"], 0) + 1
+    assert by_key.get("k1") == 1  # duplicate suppressed
+    assert by_key.get("k2") == 1
+    assert "k3" not in by_key  # >2h late → dropped
+    assert max(by_key.values()) <= 1
+
+
+def test_exactly_once_foreachbatch_merge(spark, tmp_path):
+    """stream_write_raw_exactly_once.py:132-173: per-batch MERGE keyed by id
+    is idempotent — duplicate deliveries don't duplicate rows."""
+    src = str(tmp_path / "stream_src2")
+    os.makedirs(src)
+    _write_batch_file(spark, src, [("a", T0, "v1"), ("b", T0, "v1")], "b1")
+    _write_batch_file(
+        spark, src, [("a", T0 + timedelta(minutes=1), "v2"), ("c", T0, "v1")], "b2"
+    )
+    cat = ParquetCatalog(spark, str(tmp_path / "wh2"))
+    stream = (
+        spark.readStream.schema("id string, published_at timestamp, title string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = start_exactly_once_merge(
+        stream, cat, "raw", key="id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    time.sleep(0.2)
+    rows = {r["id"]: r for r in cat.read("raw").collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["title"] == "v2"  # later batch won the merge
+    assert cat.duplicate_audit("raw", "id").count() == 0
