@@ -139,6 +139,8 @@ def candidate_pairs(
     residual hot key. Pair dedup is a groupBy on (id_a, id_b) keeping one
     witness block key (min), which also gives map-side partial aggregation.
     """
+    # blocks feeds three consumers (sizes, anti-join, self-join) — pin it
+    blocks = blocks.persist()
     sizes = block_stats(blocks)
     capped = sizes.filter(F.col("block_size") > max_block_size).select(
         "block_key", "block_size", "entity_type"

@@ -102,7 +102,11 @@ class EntityResolutionPipeline:
         if self.ckpt is not None:
             df = self.ckpt.run(name, fingerprint, build)
         else:
-            df = build()
+            # every stage fans out to ≥2 consumers — pin it so the pandas-UDF
+            # stages (extraction, scoring) run exactly once (MEMORY_AND_DISK,
+            # spills instead of OOMing on big inputs; with a workdir the
+            # parquet checkpoint plays this role instead)
+            df = build().persist()
         if self.lineage is not None:
             self.lineage.partition_counts(name, df)
         return df
@@ -259,7 +263,9 @@ def resolve_from_mentions(
     if "node_id" not in m.columns:
         m = m.withColumn("node_id", node_id_col(F.col("entity_type"), F.col("name")))
 
-    vertices = distinct_vertices(m)
+    # vertices feed blocking, clustering, and the entity build — pin once
+    # (the mention-extraction pandas UDF upstream is the expensive part)
+    vertices = distinct_vertices(m).persist()
     blocks = build_blocks(
         vertices, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands
     )
@@ -267,6 +273,8 @@ def resolve_from_mentions(
         blocks = blocks.unionByName(embedding_blocks(vertices, name_embeddings))
     pairs, _capped = candidate_pairs(blocks, max_block_size=cfg.max_block_size)
     scored = score_pairs(pairs, cfg.scoring)
+    if name_embeddings is not None:
+        scored = scored.persist()
     edges = matched_edges(scored)
     if name_embeddings is not None:
         edges = edges.unionByName(

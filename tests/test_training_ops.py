@@ -1,0 +1,191 @@
+"""Training-data operators: dedup suite vs brute-force oracles, similarity
+search vs numpy, multimodal plumbing, text stats edge cases."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from neuronews_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from neuronews_spark.operators.multimodal import (
+    decode_features,
+    frame_sample_plan,
+    synthetic_media,
+)
+from neuronews_spark.operators.similarity_search import cosine_topk, ivf_topk
+
+
+def _docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "s"),
+        (2, base, "s"),                                  # exact dup of 1
+        (3, base.replace("kappa", "lambda"), "s"),       # near dup of 1
+        (4, "totally different words entirely here now", "s"),
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu", "s"),  # superset
+        (6, "one two three four five six seven eight nine ten", "s"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup(spark):
+    d = _docs(spark)
+    groups = exact_duplicate_groups(d).collect()
+    assert len(groups) == 1 and groups[0]["doc_ids"] == [1, 2]
+    kept = dedup_exact(d).select("doc_id").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert ids == {1, 3, 4, 5, 6}  # min-id representative kept
+
+
+def _brute_jaccard(rows, n):
+    def grams(text):
+        toks = text.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        ga, gb = grams(ta), grams(tb)
+        j = len(ga & gb) / len(ga | gb)
+        out[(min(ia, ib), max(ia, ib))] = j
+    return out
+
+
+def test_minhash_candidates_verified_by_exact_jaccard(spark):
+    d = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            d, jaccard_threshold=0.5, shingle_n=3
+        ).collect()
+    }
+    brute = _brute_jaccard(
+        [(r["doc_id"], r["text"]) for r in d.collect()], 3
+    )
+    expected = {k: v for k, v in brute.items() if v >= 0.5}
+    # verification makes precision exact; LSH with 32x8 at J>=0.5 gives
+    # ~certain recall on this corpus
+    assert set(got) == set(expected), (got, expected)
+    for k, v in got.items():
+        assert abs(v - expected[k]) < 1e-6
+
+
+def test_simhash_exact_dups_have_zero_hamming(spark):
+    d = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_duplicates(d, max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0  # identical text → identical signature
+
+
+def test_ngram_jaccard_pairs_blocked(spark):
+    d = _docs(spark)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            d, block_col="source", n=1, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got  # 9/11 tokens shared
+    assert (1, 5) in got  # containment: 10/11
+    assert (1, 4) not in got
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)], "vec_id long, embedding array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    v64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(v64, axis=1)
+    for q in range(3):
+        sims = (v64 @ v64[q]) / (norms * norms[q])
+        order = sorted(range(40), key=lambda i: (-round(sims[i], 6), i))[:5]
+        got_q = sorted(
+            [r for r in got if r["query_id"] == q], key=lambda r: r["rank"]
+        )
+        assert [r["vec_id"] for r in got_q] == order
+        for r in got_q:
+            assert abs(r["sim"] - sims[r["vec_id"]]) < 1e-5
+
+
+def test_ivf_topk_full_probe_is_exact(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(
+            emb, queries, k=3, n_centroids=4, n_probe=4
+        ).collect()
+    }
+    assert approx == exact  # probing all cells recovers exact results
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=30)
+    feats = decode_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["feature"]) == 16 for r in feats)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert by_id["m0001"]["feature"] == again["m0001"]["feature"]
+    # frame sampling plan: one row per second of video
+    plan = frame_sample_plan(media, every_s=1.0)
+    vids = {r["media_id"] for r in plan.collect()}
+    assert vids == {r["media_id"] for r in media.filter(F.col("modality") == "video").collect()}
+
+
+def test_real_decoder_gate(spark):
+    import pytest
+
+    media = synthetic_media(spark, n=2)
+    with pytest.raises(NotImplementedError):
+        decode_features(media, require_real_decoder=True)
+
+
+def test_lang_id_and_quality(spark):
+    from neuronews_spark.operators.text_stats import language_id, quality_features
+
+    d = spark.createDataFrame(
+        [
+            (1, "the cat is on the mat and it is happy"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "le chat est dans la maison pour le moment"),
+            (4, "xyzzy plugh"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang"] for r in d.select("doc_id", language_id(F.col("text")).alias("lang")).collect()}
+    assert langs[1] == "en" and langs[2] == "de" and langs[3] == "fr"
+    assert langs[4] == "und" and langs[5] == "und"
+    q = {r["doc_id"]: r for r in quality_features(d).collect()}
+    assert q[1]["q_score"] > q[4]["q_score"] > q[5]["q_score"]
+    assert q[5]["q_n_tokens"] == 0
