@@ -190,11 +190,14 @@ _TEMPLATES = [
 ]
 
 
-def _text_pools(seed: int) -> tuple[list[str], int]:
+def _text_pools(seed: int, scale: int = 1) -> tuple[list[str], int]:
     """Flatten family variants into an indexable pool of *extractor-safe*
-    phrases (pad each family to a fixed variant count V so Column indexing
-    is pure arithmetic: pool[f * V + v])."""
-    fams = make_families(seed)
+    phrases (pad each family to a fixed variant count V so indexing is pure
+    arithmetic: pool[f * V + v]). ``scale`` multiplies the family counts so
+    the distinct-surface population grows with the benchmark input."""
+    fams = make_families(
+        seed, n_person=24 * scale, n_org=16 * scale, n_concept=16 * scale
+    )
     V = 3
     pool: list[str] = []
     for fam in fams:
@@ -221,16 +224,26 @@ def synthetic_transcripts(
     turns_per_conv: int = 20,
     seed: int = 42,
     partitions: int | None = None,
+    family_scale: int | None = None,
 ) -> DataFrame:
     """Generate ``transcripts(conv_id, turn_idx, role, text, tool, ts)``.
 
-    Entirely Column math over ``spark.range`` — generation itself scales to
-    arbitrary row counts without driver involvement. ~1% of turns land in 3
-    hot conversations to exercise skew handling.
+    Column math over ``spark.range`` + one broadcast join against the
+    surface pool — generation scales to arbitrary row counts without driver
+    involvement and without growing the query plan. ~1% of turns land in 3
+    hot conversations to exercise skew handling. ``family_scale`` (default:
+    grows with n_turns) multiplies the planted entity-family count so the
+    distinct-surface population — the ER problem size — scales with input.
     """
-    pool, V = _text_pools(seed)
+    if family_scale is None:
+        family_scale = max(1, n_turns // 50_000)
+    pool, V = _text_pools(seed, scale=family_scale)
     n_fam = len(pool) // V
-    surfaces = F.array(*[F.lit(s) for s in pool])
+    pool_df = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(pool)), "pool_idx int, surface string"
+        )
+    )
     fillers = F.array(*[F.lit(w) for w in _FILLER])
     tpl_pre = F.array(*[F.lit(p) for p, _ in _TEMPLATES])
     tpl_suf = F.array(*[F.lit(s) for _, s in _TEMPLATES])
@@ -246,20 +259,11 @@ def synthetic_transcripts(
 
     fam = (h(2) % F.lit(n_fam)).cast("int")
     var = (h(3) % F.lit(V)).cast("int")
-    surface = F.element_at(surfaces, (fam * V + var + 1).cast("int"))
     tpl_idx = (h(4) % F.lit(len(_TEMPLATES)) + 1).cast("int")
     fill = F.concat_ws(
         " ",
         F.element_at(fillers, (h(5) % F.lit(len(_FILLER)) + 1).cast("int")),
         F.element_at(fillers, (h(6) % F.lit(len(_FILLER)) + 1).cast("int")),
-    )
-    text = F.concat_ws(
-        " ",
-        fill,
-        F.element_at(tpl_pre, tpl_idx),
-        surface,
-        F.element_at(tpl_suf, tpl_idx),
-        fill,
     )
 
     role = F.element_at(roles, (h(7) % 4 + 1).cast("int"))
@@ -272,11 +276,30 @@ def synthetic_transcripts(
     ).cast("int")
     ts = F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id"))
 
-    return df.select(
+    base = df.select(
         conv_id.alias("conv_id"),
         turn_idx.alias("turn_idx"),
         role.alias("role"),
-        text.alias("text"),
         tool.alias("tool"),
         ts.alias("ts"),
+        (fam * V + var).alias("pool_idx"),
+        tpl_idx.alias("tpl_idx"),
+        fill.alias("fill"),
+    )
+    with_surface = base.join(pool_df, "pool_idx")
+    text = F.concat_ws(
+        " ",
+        F.col("fill"),
+        F.element_at(tpl_pre, F.col("tpl_idx")),
+        F.col("surface"),
+        F.element_at(tpl_suf, F.col("tpl_idx")),
+        F.col("fill"),
+    )
+    return with_surface.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        text.alias("text"),
+        "tool",
+        "ts",
     )
