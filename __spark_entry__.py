@@ -337,6 +337,46 @@ def q_assemble_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return assemble_conversations(t).select("conv_id", "doc_text", "n_turns")
 
 
+def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import tfidf_top_keywords
+
+    return tfidf_top_keywords(
+        _t(spark, sf, "documents"), "doc_id", "text", top_k=5, stop_words=_KW_STOPS
+    )
+
+
+def q_order_date_enrich(spark: SparkSession, sf: str) -> DataFrame:
+    # fct_articles.sql:23-39 port: date parts + CASE value buckets
+    _prep(spark)
+    o = _t(spark, sf, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50_000, "low")
+        .when(F.col("o_totalprice") < 150_000, "mid")
+        .otherwise(F.lit("high"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.hour("o_orderdate").alias("order_hour"),
+        bucket.alias("price_bucket"),
+    )
+
+
+def q_degrees_events(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.graph import degrees
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return degrees(edges)
+
+
 # ---- rows-only queries (non-SQL-expressible) --------------------------------
 
 def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
@@ -417,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top5": q_cosine_top5,
         "tpch_q1": q_tpch_q1,
         "assemble_roundtrip": q_assemble_roundtrip,
+        "tfidf_keywords": q_tfidf_keywords,
+        "order_date_enrich": q_order_date_enrich,
+        "degrees_events": q_degrees_events,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -598,5 +641,52 @@ def oracle_sql() -> dict[str, str]:
                    greatest(ceil(len(list_filter(string_split_regex(text, '\\s+'),
                      x -> x <> ''))::double / 8.0), 1)::bigint AS n_turns
             FROM documents
+        """,
+        "tfidf_keywords": f"""
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(list_filter(
+                       list_transform(
+                         list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                         x -> lower(x)),
+                       x -> regexp_matches(x, '^[a-zA-Z][a-zA-Z0-9]{{2,}}$')
+                            AND x NOT IN {_sql_in(_KW_STOPS)})) AS token
+              FROM documents),
+            tf AS (SELECT doc, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc) AS df FROM toks GROUP BY 1),
+            nn AS (SELECT count(DISTINCT doc_id)::double AS n FROM documents),
+            scored AS (
+              SELECT doc, tf.token, tf, df,
+                     round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+              FROM tf JOIN dfq USING (token) CROSS JOIN nn)
+            SELECT doc, token, tf, df, tfidf, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc
+                ORDER BY tfidf DESC, token ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "order_date_enrich": """
+            SELECT o_orderkey,
+                   year(o_orderdate)  AS order_year,
+                   month(o_orderdate) AS order_month,
+                   day(o_orderdate)   AS order_day,
+                   hour(o_orderdate)  AS order_hour,
+                   CASE WHEN o_totalprice < 50000 THEN 'low'
+                        WHEN o_totalprice < 150000 THEN 'mid'
+                        ELSE 'high' END AS price_bucket
+            FROM orders
+        """,
+        "degrees_events": """
+            WITH e AS (
+              SELECT 'u:' || user_id::varchar AS src,
+                     't:' || event_type AS dst
+              FROM events),
+            o AS (SELECT src AS node_id, count(*) AS out_degree FROM e GROUP BY 1),
+            i AS (SELECT dst AS node_id, count(*) AS in_degree FROM e GROUP BY 1)
+            SELECT coalesce(o.node_id, i.node_id) AS node_id,
+                   coalesce(out_degree, 0) AS out_degree,
+                   coalesce(in_degree, 0) AS in_degree,
+                   coalesce(out_degree, 0) + coalesce(in_degree, 0) AS degree
+            FROM o FULL JOIN i ON o.node_id = i.node_id
         """,
     }

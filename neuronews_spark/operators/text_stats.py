@@ -131,6 +131,49 @@ def rule_sentiment(text: Column) -> tuple[Column, Column]:
     return score, label
 
 
+def tfidf_top_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 10,
+    stop_words: list[str] | None = None,
+) -> DataFrame:
+    """Per-document TF-IDF top-k keywords — corpus-level IDF fit like the
+    reference's TfidfVectorizer (keyword_topic_extractor.py:356-430: token
+    pattern ``[a-zA-Z][a-zA-Z0-9]{2,}``, english stop words, smooth idf
+    ``ln((N+1)/(df+1)) + 1``). L2 norm is omitted: it is constant within a
+    document so per-doc ranking is unchanged.
+
+    Pure DataFrame ops: explode → two keyed aggregations (tf, df) → join →
+    window top-k. The df table is a token dimension (≪ corpus) so the join
+    broadcasts under AQE.
+    """
+    from pyspark.sql import Window
+
+    stops = stop_words if stop_words is not None else [
+        "the", "and", "or", "but", "in", "on", "at", "to", "for", "of",
+        "with", "by", "a", "an", "is", "are", "was", "were", "this", "that",
+    ]
+    toks = F.filter(
+        F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x)),
+        lambda x: x.rlike("^[a-zA-Z][a-zA-Z0-9]{2,}$") & ~x.isin(stops),
+    )
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    exploded = df.select(
+        F.col(id_col).alias("doc"), F.explode(toks).alias("token")
+    )
+    tf = exploded.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = exploded.groupBy("token").agg(F.countDistinct("doc").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "token").select(
+        "doc", "token", "tf", "df", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("token"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+
+
 def keyword_counts(df: DataFrame, text_col: str = "text", top_k: int = 10) -> DataFrame:
     """Corpus keyword extraction: tokenize, drop stop words + short words
     (upsert_enriched.py:123-134 semantics), count, global top-k."""
