@@ -20,6 +20,12 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+# pin BLAS/OMP pools to 1 thread per Python worker BEFORE any JVM starts —
+# pandas-UDF stages anti-scale otherwise (see neuronews_spark/session.py)
+from neuronews_spark.session import pin_worker_thread_pools
+
+pin_worker_thread_pools()
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 

@@ -111,8 +111,15 @@ def minhash_near_duplicates(
         .select("id_a", "id_b", "sh_a", "sh_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # size-ratio prefilter (J >= t ⇒ min|set|/max|set| >= t) before the
+    # exact set intersection
+    size_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b"))
+        >= F.lit(jaccard_threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+    )
     return (
-        cand.select(
+        cand.filter(size_ok)
+        .select(
             "id_a",
             "id_b",
             F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
@@ -212,9 +219,17 @@ def ngram_jaccard_pairs(
     ).filter(F.size("grams") > 0)
     a = base.select("blk", F.col("doc").alias("id_a"), F.col("grams").alias("g_a"))
     b = base.select("blk", F.col("doc").alias("id_b"), F.col("grams").alias("g_b"))
+    # size-ratio prefilter: J(A,B) >= t  ⇒  |A∩B| <= min(|A|,|B|) and
+    # |A∪B| >= max(|A|,|B|)  ⇒  min/max >= t — prunes most pairs before the
+    # O(|A|+|B|) set intersection runs
+    size_ok = (
+        F.least(F.size("g_a"), F.size("g_b"))
+        >= F.lit(threshold) * F.greatest(F.size("g_a"), F.size("g_b"))
+    )
     return (
         a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(size_ok)
         .select(
             "id_a",
             "id_b",

@@ -13,6 +13,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from neuronews_spark.session import pin_worker_thread_pools
+
+pin_worker_thread_pools()
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 

@@ -1,6 +1,11 @@
 from __future__ import annotations
 
 import pytest
+
+from neuronews_spark.session import pin_worker_thread_pools
+
+pin_worker_thread_pools()  # before the JVM starts
+
 from pyspark.sql import SparkSession
 
 
