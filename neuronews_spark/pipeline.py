@@ -175,7 +175,12 @@ class EntityResolutionPipeline:
             ck = self.ckpt
 
             def cc_cb(it: int, e: DataFrame) -> DataFrame:  # noqa: F811
-                return ck.write(f"cc_iter_{it:03d}", e, fp)
+                # resume-aware: a crashed clustering run restarts from the
+                # last completed CC round instead of round 0
+                name = f"cc_iter_{it:03d}"
+                if ck.has(name, fp):
+                    return ck.read(name)
+                return ck.write(name, e, fp)
 
         components = self._stage(
             "clustering",
