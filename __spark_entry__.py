@@ -383,7 +383,116 @@ def q_degrees_events(spark: SparkSession, sf: str) -> DataFrame:
     return degrees(edges)
 
 
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.dedup import embedding_cosine_pairs
+
+    # threshold 0.35 is data-dependent: the synthetic embeddings' within-
+    # label cosine tops out near 0.47, so 0.35 exercises a non-empty result
+    return embedding_cosine_pairs(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        block_col="label", threshold=0.35,
+    )
+
+
+def q_dim_entity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # dim_entity.sql:11-44 port: regex mention extraction → GROUP BY
+    # (entity_text, entity_type) with avg-confidence / count / min-max doc
+    # span + CASE category mapping; type inference mirrors the shape of
+    # kg_updater.py:115-126 (suffix rule → ORG, token-count rule → PERSON)
+    # re-keyed to this all-lowercase corpus: mentions are content-word
+    # bigrams (the capitalized-sequence rule would match nothing here)
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    ents = F.expr(r"regexp_extract_all(text, '([a-z]{4,} [a-z]{4,})', 1)")
+    m = d.select("doc_id", F.explode(ents).alias("entity_text"))
+    etype = (
+        F.when(F.col("entity_text").rlike("s$"), "ORGANIZATION")
+        .when(F.col("entity_text").rlike("^[a-z]{5} "), "PERSON")
+        .otherwise(F.lit("CONCEPT"))
+    )
+    conf = F.round(F.lit(0.5) + (F.length("entity_text") % 5) * 0.1, 6)
+    cat = (
+        F.when(F.col("entity_type") == "PERSON", "people")
+        .when(F.col("entity_type") == "ORGANIZATION", "organizations")
+        .otherwise(F.lit("topics"))
+    )
+    return (
+        m.select(
+            "doc_id", "entity_text", etype.alias("entity_type"), conf.alias("confidence")
+        )
+        .groupBy("entity_text", "entity_type")
+        .agg(
+            F.round(F.avg("confidence"), 6).alias("avg_confidence"),
+            F.count(F.lit(1)).alias("mention_count"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn("category", cat)
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import quality_features
+
+    return quality_features(_t(spark, sf, "documents")).select(
+        "doc_id", "q_n_chars", "q_n_tokens", "q_alpha_ratio",
+        "q_punct_ratio", "q_stop_ratio", "q_score",
+    )
+
+
+def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import bpe_ish_token_count
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible) --------------------------------
+
+
+def q_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.dedup import srp_lsh_near_dups
+
+    return srp_lsh_near_dups(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.35
+    )
+
+
+def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    pr = pagerank(edges, alpha=0.85, iterations=10)
+    return pr.select("node_id", F.round("rank", 9).alias("rank"))
+
+
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # duplicate clusters = connected components over the verified
+    # near-dup pair graph (the training-data dedup "keep one per cluster")
+    _prep(spark)
+    from neuronews_spark.operators.clustering import connected_components
+    from neuronews_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        block_col="source", n=1, threshold=0.9,
+    )
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    return connected_components(edges).withColumnRenamed("node_id", "doc_id")
 
 def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
@@ -466,6 +575,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_keywords": q_tfidf_keywords,
         "order_date_enrich": q_order_date_enrich,
         "degrees_events": q_degrees_events,
+        "embedding_near_dups": q_embedding_near_dups,
+        "dim_entity_docs": q_dim_entity_docs,
+        "doc_quality": q_doc_quality,
+        "bpe_token_count": q_bpe_token_count,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -473,6 +586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
+        "srp_near_dups": q_srp_near_dups,
+        "pagerank_events": q_pagerank_events,
+        "dup_clusters": q_dup_clusters,
     }
 
 
@@ -681,6 +797,84 @@ def oracle_sql() -> dict[str, str]:
                         WHEN o_totalprice < 150000 THEN 'mid'
                         ELSE 'high' END AS price_bucket
             FROM orders
+        """,
+        "embedding_near_dups": """
+            SELECT id_a, id_b, sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(
+                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            WHERE sim >= 0.35
+        """,
+        "dim_entity_docs": """
+            WITH m AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(
+                       text, '([a-z]{4,} [a-z]{4,})', 1)) AS entity_text
+              FROM documents),
+            typed AS (
+              SELECT doc_id, entity_text,
+                     CASE WHEN regexp_matches(entity_text, 's$') THEN 'ORGANIZATION'
+                          WHEN regexp_matches(entity_text, '^[a-z]{5} ') THEN 'PERSON'
+                          ELSE 'CONCEPT' END AS entity_type,
+                     round(0.5 + (length(entity_text) % 5) * 0.1, 6) AS confidence
+              FROM m)
+            SELECT entity_text, entity_type,
+                   round(avg(confidence), 6) AS avg_confidence,
+                   count(*) AS mention_count,
+                   min(doc_id) AS first_doc,
+                   max(doc_id) AS last_doc,
+                   CASE WHEN entity_type = 'PERSON' THEN 'people'
+                        WHEN entity_type = 'ORGANIZATION' THEN 'organizations'
+                        ELSE 'topics' END AS category
+            FROM typed GROUP BY entity_text, entity_type
+        """,
+        "doc_quality": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]]', '', 'g')) AS n_punct
+              FROM documents),
+            feat AS (
+              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                     len(list_filter(toks, x -> lower(x) IN {_sql_in(_EN)})) AS n_stop,
+                     n_alpha, n_punct,
+                     CASE WHEN len(toks) > 0
+                          THEN n_chars::double / len(toks) ELSE 0.0 END AS awl,
+                     CASE WHEN n_chars > 0
+                          THEN n_alpha::double / n_chars ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN n_chars > 0
+                          THEN n_punct::double / n_chars ELSE 0.0 END AS punct_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, x -> lower(x) IN {_sql_in(_EN)}))::double
+                               / len(toks) ELSE 0.0 END AS stop_ratio
+              FROM base)
+            SELECT doc_id,
+                   n_chars AS q_n_chars,
+                   n_tokens AS q_n_tokens,
+                   round(alpha_ratio, 6) AS q_alpha_ratio,
+                   round(punct_ratio, 6) AS q_punct_ratio,
+                   round(stop_ratio, 6) AS q_stop_ratio,
+                   round(least(n_tokens / 20.0, 1.0) * 0.25
+                         + alpha_ratio * 0.25
+                         + least(stop_ratio * 4.0, 1.0) * 0.25
+                         + CASE WHEN awl >= 3 AND awl <= 10
+                                THEN 0.25 ELSE 0.0 END, 6) AS q_score
+            FROM feat
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   coalesce(list_sum(list_transform(
+                     list_filter(
+                       string_split_regex(
+                         regexp_replace(text, '([^\\w]|_)+', ' ', 'g'), '\\s+'),
+                       x -> x <> ''),
+                     x -> greatest(ceil(length(x) / 4.0), 1))), 0)::bigint
+                     AS n_bpe_tokens
+            FROM documents
         """,
         "degrees_events": """
             WITH e AS (

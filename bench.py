@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "token_jaccard_dups",
     "minhash_near_dups",
     "simhash_near_dups",
+    "embedding_near_dups",
+    "dup_clusters",
     "cosine_top5",
     "fingerprint_md5",
     "assemble_roundtrip",

@@ -189,3 +189,65 @@ def test_lang_id_and_quality(spark):
     q = {r["doc_id"]: r for r in quality_features(d).collect()}
     assert q[1]["q_score"] > q[4]["q_score"] > q[5]["q_score"]
     assert q[5]["q_n_tokens"] == 0
+
+
+def test_embedding_cosine_pairs_matches_numpy(spark):
+    from neuronews_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(11)
+    # planted near-dups: vec i+100 = vec i + small noise, same block
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    noisy = (base + 0.05 * rng.standard_normal((20, 16))).astype(np.float32)
+    rows = [(i, base[i].tolist(), i % 3) for i in range(20)] + [
+        (i + 100, noisy[i].tolist(), i % 3) for i in range(20)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_cosine_pairs(
+            emb, block_col="label", threshold=0.95
+        ).collect()
+    }
+    # every planted pair shares a block and has cosine ≈ 1
+    for i in range(20):
+        assert (i, i + 100) in got and got[(i, i + 100)] >= 0.95
+    # brute-force check: no pair above threshold is missed within blocks
+    v = {r[0]: (np.asarray(r[1], dtype=np.float64), r[2]) for r in rows}
+    expect = set()
+    for a in v:
+        for b in v:
+            if a < b and v[a][1] == v[b][1]:
+                va, vb = v[a][0], v[b][0]
+                sim = va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+                if round(sim, 6) >= 0.95:
+                    expect.add((a, b))
+    assert set(got) == expect
+
+
+def test_srp_lsh_near_dups_recall_and_precision(spark):
+    from neuronews_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        srp_lsh_near_dups,
+    )
+
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    noisy = (base + 0.02 * rng.standard_normal((30, 32))).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(30)] + [
+        (i + 100, noisy[i].tolist()) for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in srp_lsh_near_dups(emb, threshold=0.95).collect()
+    }
+    # precision is exact by construction (cosine-verified candidates)
+    assert lsh <= exact
+    # near-identical pairs (cos ≈ 0.999) must essentially all be recalled
+    assert len(lsh) >= 0.9 * len(exact) and len(exact) >= 30
