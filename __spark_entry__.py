@@ -452,6 +452,19 @@ def q_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # the corpus has no punctuation, so the sentence boundary is re-keyed
+    # to the frequent function words; chunk windows shrunk to 200 chars so
+    # multi-chunk documents actually occur at this document length
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import sentence_chunks
+
+    return sentence_chunks(
+        _t(spark, sf, "documents"), "doc_id", "text",
+        max_chars=200, boundary_re=r"\s(?:the|and)\s",
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible) --------------------------------
 
 
@@ -462,6 +475,17 @@ def q_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return srp_lsh_near_dups(
         _t(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.35
     )
+
+
+def q_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.event_clustering import (
+        cluster_summary,
+        kmeans_clusters,
+    )
+
+    assigned = kmeans_clusters(_t(spark, sf, "embeddings"), k=8)
+    return cluster_summary(assigned)
 
 
 def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -579,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_entity_docs": q_dim_entity_docs,
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
+        "sentence_chunks": q_sentence_chunks,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -589,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dups": q_srp_near_dups,
         "pagerank_events": q_pagerank_events,
         "dup_clusters": q_dup_clusters,
+        "event_clusters": q_event_clusters,
     }
 
 
@@ -875,6 +901,26 @@ def oracle_sql() -> dict[str, str]:
                      x -> greatest(ceil(length(x) / 4.0), 1))), 0)::bigint
                      AS n_bpe_tokens
             FROM documents
+        """,
+        "sentence_chunks": """
+            WITH s0 AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(text, '\\s(?:the|and)\\s'),
+                       x -> trim(x)), x -> x <> '') AS sents
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     unnest(range(len(sents)))::int AS sent_idx,
+                     unnest(sents) AS sentence
+              FROM s0)
+            SELECT doc_id, sent_idx, sentence,
+                   ceil(length(sentence) / 4.0)::int AS est_tokens,
+                   floor(coalesce(sum(length(sentence)) OVER (
+                     PARTITION BY doc_id ORDER BY sent_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 200)::int AS chunk_id
+            FROM s
         """,
         "degrees_events": """
             WITH e AS (

@@ -189,3 +189,43 @@ def keyword_counts(df: DataFrame, text_col: str = "text", top_k: int = 10) -> Da
         .orderBy(F.desc("n"), F.asc("keyword"))
         .limit(top_k)
     )
+
+
+def sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_chars: int = 2048,
+    boundary_re: str = r"[.!?]+",
+) -> DataFrame:
+    """Sentence split + chunk assignment for model-sized windows
+    (ner_processor.py:271-307 semantics: split on ``[.!?]+``, pack
+    sentences into chunks of ≤512 estimated tokens ≈ len/4 chars).
+
+    The reference packs greedily; here the boundary rule is the
+    order-free equivalent ``chunk_id = floor(cum_chars_before /
+    max_chars)`` — deterministic under any partitioning, one window
+    shuffle on the document key. ``boundary_re`` re-keys the sentence
+    boundary for corpora without punctuation. Returns one row per
+    sentence: (id, sent_idx, sentence, est_tokens, chunk_id)."""
+    from pyspark.sql import Window
+
+    sents = F.filter(
+        F.transform(F.split(F.coalesce(F.col(text_col), F.lit("")), boundary_re),
+                    lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    s = df.select(F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence"))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("sent_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.length("sentence")).over(w), F.lit(0))
+    return s.select(
+        id_col,
+        "sent_idx",
+        "sentence",
+        F.ceil(F.length("sentence") / 4).cast("int").alias("est_tokens"),
+        F.floor(cum_before / max_chars).cast("int").alias("chunk_id"),
+    )

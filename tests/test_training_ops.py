@@ -251,3 +251,47 @@ def test_srp_lsh_near_dups_recall_and_precision(spark):
     assert lsh <= exact
     # near-identical pairs (cos ≈ 0.999) must essentially all be recalled
     assert len(lsh) >= 0.9 * len(exact) and len(exact) >= 30
+
+
+def test_sentence_chunks_packing(spark):
+    from neuronews_spark.operators.text_stats import sentence_chunks
+
+    text = "alpha beta gamma. delta epsilon! zeta? eta theta iota."
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        sentence_chunks(df, max_chars=20).collect(), key=lambda r: r["sent_idx"]
+    )
+    assert [r["sentence"] for r in rows] == [
+        "alpha beta gamma", "delta epsilon", "zeta", "eta theta iota",
+    ]
+    # cum-before: 0, 16, 29, 33 → floor(/20): 0, 0, 1, 1
+    assert [r["chunk_id"] for r in rows] == [0, 0, 1, 1]
+    assert [r["est_tokens"] for r in rows] == [4, 4, 1, 4]
+
+
+def test_kmeans_event_clusters(spark):
+    from neuronews_spark.operators.event_clustering import (
+        auto_k,
+        cluster_summary,
+        kmeans_clusters,
+    )
+
+    rng = np.random.default_rng(21)
+    blob_a = rng.standard_normal((25, 8)) * 0.1 + 5.0
+    blob_b = rng.standard_normal((25, 8)) * 0.1 - 5.0
+    rows = [(i, blob_a[i].tolist()) for i in range(25)] + [
+        (i + 100, blob_b[i].tolist()) for i in range(25)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = kmeans_clusters(emb, k=2).collect()
+    by_cluster = {}
+    for r in assigned:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    # the two planted blobs must come out as the two clusters
+    assert sorted(len(v) for v in by_cluster.values()) == [25, 25]
+    assert {frozenset(v) for v in by_cluster.values()} == {
+        frozenset(range(25)), frozenset(range(100, 125)),
+    }
+    summ = {r["cluster_id"]: r for r in cluster_summary(kmeans_clusters(emb, k=2)).collect()}
+    assert all(r["n_members"] == 25 and r["avg_dist"] < 1.0 for r in summ.values())
+    assert auto_k(emb, candidates=(2, 4, 8)) == 2
