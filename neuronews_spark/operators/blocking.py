@@ -136,8 +136,10 @@ def candidate_pairs(
              never silently dropped.
 
     The join shuffles both sides on ``block_key``; AQE skew-join splits any
-    residual hot key. Pair dedup is a groupBy on (id_a, id_b) keeping one
-    witness block key (min), which also gives map-side partial aggregation.
+    residual hot key. The self-join and the (id_a, id_b) dedup carry ONLY
+    the two vertex ids — the name/norm payload is joined back afterwards
+    from the per-vertex side (tiny relative to the pair fan-out), so the
+    widest shuffle moves 2 ids instead of 6 strings per raw pair.
     """
     # blocks feeds three consumers (sizes, anti-join, self-join) — pin it
     blocks = blocks.persist()
@@ -149,29 +151,45 @@ def candidate_pairs(
         F.broadcast(capped.select("block_key")), "block_key", "left_anti"
     )
 
-    a = ok_blocks.alias("a")
-    b = ok_blocks.alias("b")
+    slim = ok_blocks.select("block_key", "node_id")
     raw = (
-        a.join(b, on="block_key")
+        slim.alias("a")
+        .join(slim.alias("b"), on="block_key")
         .filter(F.col("a.node_id") < F.col("b.node_id"))
         .select(
-            F.col("block_key"),
+            "block_key",
             F.col("a.node_id").alias("id_a"),
             F.col("b.node_id").alias("id_b"),
-            F.col("a.entity_type").alias("type"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.col("a.norm").alias("norm_a"),
-            F.col("b.norm").alias("norm_b"),
         )
     )
-    pairs = raw.groupBy("id_a", "id_b").agg(
-        F.min("block_key").alias("block_key"),
-        F.first("type").alias("type"),
-        F.first("name_a").alias("name_a"),
-        F.first("name_b").alias("name_b"),
-        F.first("norm_a").alias("norm_a"),
-        F.first("norm_b").alias("norm_b"),
+    pair_ids = raw.groupBy("id_a", "id_b").agg(
+        F.min("block_key").alias("block_key")
+    )
+    v = blocks.select("node_id", "entity_type", "name", "norm").dropDuplicates(
+        ["node_id"]
+    )
+    pairs = (
+        pair_ids.join(
+            v.select(
+                F.col("node_id").alias("id_a"),
+                F.col("entity_type").alias("type"),
+                F.col("name").alias("name_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            v.select(
+                F.col("node_id").alias("id_b"),
+                F.col("name").alias("name_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a", "id_b", "block_key", "type",
+            "name_a", "name_b", "norm_a", "norm_b",
+        )
     )
     return pairs, capped
 

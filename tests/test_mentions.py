@@ -99,3 +99,37 @@ def test_distinct_vertices_collapse_case_variants(spark):
     assert v[0]["n_convs"] == 3
     assert v[0]["name"] == "Geoffrey  Hinton"  # longest surface elected
     assert set(v[0]["aliases"]) == {"Geoffrey Hinton", "Geoffrey  Hinton"}
+
+
+def test_columnar_extractor_matches_python_port(spark):
+    """Differential: the JVM Column-math extractor variant must reproduce
+    the Arrow-UDF default exactly — names, types, order — on the synthetic
+    corpus plus adversarial hand cases."""
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import (
+        extract_mentions,
+        extract_mentions_columnar,
+    )
+    from neuronews_spark.sources.synthetic import synthetic_transcripts
+
+    t = synthetic_transcripts(spark, n_turns=4000, turns_per_conv=10)
+    convs = assemble_conversations(t)
+
+    hand = spark.createDataFrame(
+        [
+            ("h1", "Dr. Hinton met Geoffrey Hinton at Acme Corp."),
+            ("h2", "The Monday meeting covered Budget Planning."),
+            ("h3", "Al saw Al again, and Al. Smith spoke."),
+            ("h4", "President Obama and CEO Musk at Stanford University"),
+            ("h5", "Acme Corp met Acme Corp again, Acme Corp."),
+            ("h6", ""),
+            ("h7", "Xe Ab Cd Ef Gh Ij Kl"),  # >4-token runs split
+            ("h8", 'He said "Transformers" beat RNN models: Deep Learning.'),
+        ],
+        "conv_id string, doc_text string",
+    )
+    for df in (convs, hand):
+        cols = ["conv_id", "mention_idx", "name", "entity_type", "norm", "node_id"]
+        got = sorted(map(tuple, extract_mentions_columnar(df).select(*cols).collect()))
+        want = sorted(map(tuple, extract_mentions(df).select(*cols).collect()))
+        assert got == want and (df is hand or len(got) > 100)
