@@ -477,6 +477,21 @@ def q_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    # the "keep one per near-dup cluster" step: documents minus losers
+    _prep(spark)
+    from neuronews_spark.operators.dedup import (
+        dedup_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="source", n=1, threshold=0.9
+    )
+    return dedup_near_duplicates(docs, pairs).select("doc_id", "source", "n_chars")
+
+
 def q_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.event_clustering import (
@@ -614,6 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_near_dups": q_srp_near_dups,
         "pagerank_events": q_pagerank_events,
         "dup_clusters": q_dup_clusters,
+        "dedup_docs": q_dedup_docs,
         "event_clusters": q_event_clusters,
     }
 

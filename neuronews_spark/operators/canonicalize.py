@@ -124,3 +124,58 @@ def mentions_to_edges(mentions: DataFrame) -> DataFrame:
         F.concat_ws("#", F.col("conv_id"), F.col("mention_idx")).alias("chunk_id"),
         F.col("extractor"),
     )
+
+
+def build_mention_edges(mentions: DataFrame, id_map: DataFrame) -> DataFrame:
+    """Fused ``mentions_to_edges`` → ``remap_edges`` →
+    ``accumulate_provenance`` for the MENTIONS edge table (same output
+    schema and semantics).
+
+    Every provenance field is a pure function of (conv_id, mention_idx)
+    plus constants, so the shuffle carries only the group keys and one int
+    and the per-group struct lists are rebuilt *after* aggregation from
+    the collected ints. The generic path shuffles a 4-field struct per
+    mention instance and was the one pipeline stage whose list-of-struct
+    aggregation did not scale with cores in a single JVM (GC/alloc-bound);
+    the generic operators remain for edges with genuinely per-row
+    provenance."""
+    obj_map = id_map.select(
+        F.col("node_id").alias("_old"), F.col("entity_id").alias("_new")
+    )
+    slim = (
+        mentions.select("conv_id", "mention_idx", F.col("node_id").alias("_old"))
+        .join(obj_map, "_old", "left")
+        .select(
+            "conv_id",
+            "mention_idx",
+            F.coalesce("_new", "_old").alias("object"),
+        )
+    )
+    agg = slim.groupBy("conv_id", "object").agg(
+        F.count(F.lit(1)).alias("n_assertions"),
+        F.min("mention_idx").alias("_rep_idx"),
+        F.sort_array(F.collect_list("mention_idx")).alias("_idxs"),
+    )
+
+    def _prov(idx):
+        return F.struct(
+            F.col("conv_id").alias("source_doc"),
+            F.lit(0.8).alias("confidence"),
+            F.concat_ws("#", F.col("conv_id"), idx.cast("string")).alias("chunk_id"),
+            F.lit("heuristic-ner").alias("extractor"),
+        )
+
+    subject = node_id(F.lit("Document"), F.col("conv_id"))
+    return (
+        agg.filter(subject != F.col("object"))
+        .select(
+            subject.alias("subject"),
+            F.lit("MENTIONS").alias("predicate"),
+            "object",
+            "n_assertions",
+            _prov(F.col("_rep_idx")).alias("provenance"),
+            F.transform(F.col("_idxs"), lambda i: _prov(i)).alias("provenances"),
+            "conv_id",
+        )
+        .drop("conv_id")
+    )

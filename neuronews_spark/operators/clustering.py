@@ -81,13 +81,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return part1.union(part2)
 
 
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find on the driver for SMALL edge sets — the fast path behind
+    :func:`connected_components`'s size gate. One collect + one
+    createDataFrame; removes the O(log n) rounds of driver-coordinated
+    jobs whose fixed per-round latency dominates small graphs (and drags
+    scaling efficiency, since it parallelizes with neither cores nor
+    data). Output contract identical: component = lexicographic min id."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.select("src", "dst").collect():
+        a, b = r["src"], r["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id keeps the root the lexicographic minimum
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(x, find(x)) for x in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "node_id string, component string"
+    )
+
+
+# edge sets at or below this collect to the driver (~100 bytes/edge →
+# ~200 MB at the gate); above it the large-star/small-star loop engages
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 30,
     checkpoint_cb: Callable[[int, DataFrame], DataFrame] | None = None,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(src, dst) → (node_id, component) for every node that appears in
     ≥1 edge; ``component`` is the lexicographic minimum id of the cluster.
+
+    Matched-pair graphs are tiny relative to the input (distinct surface
+    forms, then only pairs that cleared scoring), so below
+    ``driver_max_edges`` a driver-side union-find answers in one collect;
+    the distributed star loop handles everything larger.
 
     ``checkpoint_cb(iteration, edges) -> edges`` may persist and re-read the
     per-round edge set (stage resumability); by default rounds are pinned
@@ -98,6 +142,8 @@ def connected_components(
     prev_sig = _signature(e)
     if prev_sig[0] == 0:
         return edges.sparkSession.createDataFrame([], "node_id string, component string")
+    if prev_sig[0] <= driver_max_edges:
+        return _components_driver(e)
 
     for it in range(max_iterations):
         e2 = _canon(_small_star(_large_star(e)))
@@ -124,12 +170,16 @@ def components_for_vertices(
     id_col: str = "node_id",
     max_iterations: int = 30,
     checkpoint_cb: Callable[[int, DataFrame], DataFrame] | None = None,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """All vertices → (node_id, component); isolated vertices become their
     own singleton component (the reference: an unmatched mention creates a
     fresh canonical node, resolution.py:140-149)."""
     cc = connected_components(
-        edges, max_iterations=max_iterations, checkpoint_cb=checkpoint_cb
+        edges,
+        max_iterations=max_iterations,
+        checkpoint_cb=checkpoint_cb,
+        driver_max_edges=driver_max_edges,
     )
     ids = vertices.select(F.col(id_col).alias("node_id")).distinct()
     return ids.join(cc, "node_id", "left").select(

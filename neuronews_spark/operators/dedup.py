@@ -358,3 +358,35 @@ def srp_lsh_near_dups(
         "id_b",
         F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
     ).filter(F.col("sim") >= threshold)
+
+
+# ------------------------------------------------- cluster + drop losers
+
+def dedup_near_duplicates(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop near-duplicate losers: connected components over the verified
+    pair graph pick one representative (min id) per duplicate cluster;
+    everything else is removed with a broadcast-able anti-join (the
+    reference's "skip if duplicate" semantics,
+    data_validation_pipeline.py:197-246, as a left_anti join).
+
+    ``pairs`` is any (id_a, id_b) frame from the near-dup detectors above.
+    Returns ``df`` minus the losers (schema unchanged)."""
+    from neuronews_spark.operators.clustering import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("node_id") != F.col("component")).select(
+        F.col("node_id").alias("_loser")
+    )
+    return df.join(
+        losers,
+        df[id_col].cast("string") == F.col("_loser"),
+        "left_anti",
+    )

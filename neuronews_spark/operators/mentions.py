@@ -270,14 +270,35 @@ def distinct_vertices(mentions: DataFrame) -> DataFrame:
     one is elected representative ``name`` deterministically and all of them
     are kept in ``aliases``. ``norm`` (the resolution normalizer) is constant
     within a node_id, so taking max is exact, not approximate.
+
+    Split into a scalar aggregation plus two shuffle-dedups joined back on
+    the (tiny) vertex side: a single groupBy with ``collect_set`` +
+    ``countDistinct`` over all mention instances anti-scaled with cores in
+    one JVM (45 s at 8 cores vs 21 s at 2 at 3M mentions — per-group list
+    state is GC-bound). ``distinct()`` is codegen'd hash dedup with no list
+    state, and the list building then runs over distinct surfaces only
+    (~10-100x fewer rows than mention instances).
     """
-    rep = F.struct(
-        F.length("name").alias("n_chars"), F.col("name").alias("name")
-    )
-    return mentions.groupBy("entity_type", "node_id").agg(
-        F.max(rep).getField("name").alias("name"),
+    stats = mentions.groupBy("entity_type", "node_id").agg(
         F.max("norm").alias("norm"),
-        F.array_sort(F.collect_set("name")).alias("aliases"),
         F.count(F.lit(1)).alias("n_mentions"),
-        F.countDistinct("conv_id").alias("n_convs"),
+    )
+    convs = (
+        mentions.select("node_id", "conv_id")
+        .distinct()
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+    )
+    rep = F.struct(F.length("name").alias("n_chars"), F.col("name").alias("name"))
+    names = (
+        mentions.select("node_id", "name")
+        .distinct()
+        .groupBy("node_id")
+        .agg(
+            F.max(rep).getField("name").alias("name"),
+            F.array_sort(F.collect_set("name")).alias("aliases"),
+        )
+    )
+    return stats.join(names, "node_id").join(convs, "node_id").select(
+        "entity_type", "node_id", "name", "norm", "aliases", "n_mentions", "n_convs"
     )

@@ -38,11 +38,9 @@ from neuronews_spark.operators.blocking import (
     embedding_blocks,
 )
 from neuronews_spark.operators.canonicalize import (
-    accumulate_provenance,
     build_entities,
     build_id_map,
-    mentions_to_edges,
-    remap_edges,
+    build_mention_edges,
 )
 from neuronews_spark.operators.clustering import components_for_vertices
 from neuronews_spark.operators.conversations import assemble_conversations
@@ -195,10 +193,12 @@ class EntityResolutionPipeline:
         entities = self._stage(
             "entities", fp, lambda: build_entities(vertices, components)
         )
-        id_map = build_id_map(components, entities)
-        mention_edges = accumulate_provenance(
-            remap_edges(mentions_to_edges(mentions), id_map)
-        )
+        # tiny (one row per distinct surface form); eagerly pinned so the
+        # MENTIONS-edge plan starts from a materialized leaf instead of
+        # dragging the full upstream DAG into planning (~500 exchanges),
+        # and so AQE sees its true size and broadcasts it
+        id_map = build_id_map(components, entities).localCheckpoint(eager=True)
+        mention_edges = build_mention_edges(mentions, id_map)
 
         if self.lineage is not None:
             for nm, df in (
@@ -293,7 +293,7 @@ def resolve_from_mentions(
         max_iterations=cfg.max_cc_iterations,
     )
     entities = build_entities(vertices, components)
-    id_map = build_id_map(components, entities)
+    id_map = build_id_map(components, entities).localCheckpoint(eager=True)
     return ResolutionResult(
         vertices=vertices,
         pairs=pairs,

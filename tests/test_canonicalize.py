@@ -119,3 +119,46 @@ def test_ontology_join_filter_quarantines_invalid(spark):
     )
     assert valid.count() == 2
     assert {r["predicate"] for r in quarantined.collect()} == {"AUTHORED_BY", "CITES"}
+
+
+def test_fused_mention_edges_matches_generic_path(spark):
+    """Differential: build_mention_edges (int-shuffle fused path) must
+    reproduce mentions_to_edges → remap_edges → accumulate_provenance on
+    everything except the tie-broken representative (all confidences are
+    equal, so the generic max_by pick is arbitrary; the fused path pins
+    min mention_idx)."""
+    from neuronews_spark.operators.canonicalize import (
+        accumulate_provenance,
+        build_mention_edges,
+        mentions_to_edges,
+        remap_edges,
+    )
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import distinct_vertices, extract_mentions
+    from neuronews_spark.pipeline import EntityResolutionPipeline
+    from neuronews_spark.sources.synthetic import synthetic_transcripts
+
+    t = synthetic_transcripts(spark, n_turns=3000, turns_per_conv=10)
+    res = EntityResolutionPipeline(spark).run(t)
+    mentions = res.mentions
+
+    generic = accumulate_provenance(
+        remap_edges(mentions_to_edges(mentions), res.id_map)
+    )
+    fused = build_mention_edges(mentions, res.id_map)
+
+    def key(rows):
+        return sorted(
+            (r["subject"], r["predicate"], r["object"], r["n_assertions"],
+             tuple(sorted(p["chunk_id"] for p in r["provenances"])))
+            for r in rows
+        )
+
+    g, f = key(generic.collect()), key(fused.collect())
+    assert g == f and len(f) > 50
+    # fused representative is the min mention_idx provenance
+    for r in fused.collect():
+        assert r["provenance"]["chunk_id"] == min(
+            (p["chunk_id"] for p in r["provenances"]),
+            key=lambda c: int(c.rsplit("#", 1)[1]),
+        )

@@ -86,3 +86,26 @@ def test_self_loops_and_duplicates_ignored(spark):
 def test_empty_edges(spark):
     edf = spark.createDataFrame([], "src string, dst string")
     assert connected_components(edf).count() == 0
+
+
+def test_star_loop_matches_driver_union_find(spark):
+    """Differential: the distributed large-star/small-star path (forced via
+    driver_max_edges=0) must agree exactly with the driver union-find fast
+    path on a random graph."""
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(60):02d}", f"n{rng.randrange(60):02d}")
+        for _ in range(80)
+    ]
+    edf = spark.createDataFrame(edges, "src string, dst string")
+    fast = {
+        (r["node_id"], r["component"])
+        for r in connected_components(edf).collect()
+    }
+    loop = {
+        (r["node_id"], r["component"])
+        for r in connected_components(edf, driver_max_edges=0).collect()
+    }
+    assert fast == loop and len(fast) > 0

@@ -295,3 +295,25 @@ def test_kmeans_event_clusters(spark):
     summ = {r["cluster_id"]: r for r in cluster_summary(kmeans_clusters(emb, k=2)).collect()}
     assert all(r["n_members"] == 25 and r["avg_dist"] < 1.0 for r in summ.values())
     assert auto_k(emb, candidates=(2, 4, 8)) == 2
+
+
+def test_dedup_near_duplicates_drops_losers(spark):
+    from neuronews_spark.operators.dedup import (
+        dedup_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),   # dup of 1
+            (3, "alpha beta gamma delta zeta"),      # near-dup of 1/2
+            (4, "totally different words here now"),
+            (5, "another unrelated document text"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=1, threshold=0.6)
+    kept = sorted(r["doc_id"] for r in dedup_near_duplicates(docs, pairs).collect())
+    # cluster {1,2,3} keeps min id 1; singletons 4, 5 survive
+    assert kept == [1, 4, 5]
