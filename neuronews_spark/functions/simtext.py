@@ -121,7 +121,12 @@ def ratio_batch(a: np.ndarray, b: np.ndarray, threshold: float = 0.0) -> np.ndar
     both_empty = (la == 0) & (lb == 0)
     out[both_empty] = 1.0  # difflib: ratio("", "") == 1.0
     for i in np.flatnonzero((upper >= threshold) & ~both_empty):
-        out[i] = SequenceMatcher(None, a[i], b[i]).ratio()
+        sm = SequenceMatcher(None, a[i], b[i])
+        # quick_ratio (character-multiset bound, O(n)) is a true upper
+        # bound of ratio (O(n^2)-ish); filtering on it is lossless
+        if threshold > 0.0 and sm.quick_ratio() < threshold:
+            continue
+        out[i] = sm.ratio()
     return out
 
 

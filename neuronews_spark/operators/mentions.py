@@ -90,18 +90,24 @@ def _infer_type(tokens: list[str], preceding_word: str) -> str:
     return "Concept"
 
 
+_PUNCT_CHARS = ".,;:\"'"
+
+
 def extract_mentions_py(text: str) -> list[tuple[str, str]]:
     """Exact port of kg_updater.py:128-153 (driver-side mirror, also the
-    kernel the pandas UDF applies per conversation)."""
+    kernel the pandas UDF applies per conversation).
+
+    The preceding-word map is built lazily: only the *first tokens of
+    surviving mentions* are ever looked up, and those are always
+    capitalized — so the word scan strips/indexes only capitalized words
+    (~10x fewer rstrip calls than the naive full-map build; extraction is
+    the pipeline's largest Python cost). Differentially tested against the
+    independent Column-math implementation."""
     text = text or ""
-    words = text.split()
-    preceding: dict[str, str] = {}
-    for i in range(1, len(words)):
-        surface = words[i].rstrip(".,;:\"'")
-        preceding.setdefault(surface, words[i - 1].rstrip(".,;:\"'"))
 
     seen: set[str] = set()
-    results: list[tuple[str, str]] = []
+    results: list[tuple[str, list[str]]] = []
+    needed: set[str] = set()
     for m in CAP_SEQ.finditer(text):
         name = m.group(1).strip()
         tokens = name.split()
@@ -112,9 +118,24 @@ def extract_mentions_py(text: str) -> list[tuple[str, str]]:
         if name in seen:
             continue
         seen.add(name)
-        etype = _infer_type(tokens, preceding.get(tokens[0], ""))
-        results.append((name, etype))
-    return results
+        results.append((name, tokens))
+        needed.add(tokens[0])
+
+    preceding: dict[str, str] = {}
+    if needed:
+        words = text.split()
+        for i in range(1, len(words)):
+            w = words[i]
+            if not w[0].isupper():
+                continue  # lookup keys are always capitalized regex tokens
+            surface = w.rstrip(_PUNCT_CHARS)
+            if surface in needed and surface not in preceding:
+                preceding[surface] = words[i - 1].rstrip(_PUNCT_CHARS)
+
+    return [
+        (name, _infer_type(tokens, preceding.get(tokens[0], "")))
+        for name, tokens in results
+    ]
 
 
 @F.pandas_udf(MENTION_RESULT)

@@ -96,15 +96,20 @@ class EntityResolutionPipeline:
 
     # -- stage helpers ----------------------------------------------------
 
-    def _stage(self, name: str, fingerprint: str, build) -> DataFrame:
+    def _stage(self, name: str, fingerprint: str, build, persist: bool = True) -> DataFrame:
         if self.ckpt is not None:
             df = self.ckpt.run(name, fingerprint, build)
         else:
-            # every stage fans out to ≥2 consumers — pin it so the pandas-UDF
-            # stages (extraction, scoring) run exactly once (MEMORY_AND_DISK,
-            # spills instead of OOMing on big inputs; with a workdir the
-            # parquet checkpoint plays this role instead)
-            df = build().persist()
+            # stages that fan out to ≥2 consumers are pinned so the
+            # pandas-UDF stages (extraction, scoring) run exactly once
+            # (MEMORY_AND_DISK — spills instead of OOMing; with a workdir
+            # the parquet checkpoint plays this role instead).
+            # ``persist=False`` marks single-consumer stages: caching the
+            # wide 10^6-row pair/score frames only to read them once cost
+            # more than recomputing nothing (one extra memory copy per leg)
+            df = build()
+            if persist:
+                df = df.persist()
         if self.lineage is not None:
             self.lineage.partition_counts(name, df)
         return df
@@ -150,12 +155,15 @@ class EntityResolutionPipeline:
                 )
             return pairs
 
-        pairs = self._stage("blocking", fp, _build_pairs)
+        # with no embedding path and no lineage, pairs/scored each have
+        # exactly one downstream consumer — let them stream through
+        multi_consumer = name_embeddings is not None or self.lineage is not None
+        pairs = self._stage("blocking", fp, _build_pairs, persist=multi_consumer)
 
         def _build_scored() -> DataFrame:
             return score_pairs(pairs, cfg.scoring)
 
-        scored = self._stage("scoring", fp, _build_scored)
+        scored = self._stage("scoring", fp, _build_scored, persist=multi_consumer)
 
         def _build_edges() -> DataFrame:
             edges = matched_edges(scored)
