@@ -100,6 +100,20 @@ def derived_transcripts(spark: SparkSession, sf_dir: str, plant: bool = True) ->
                 F.element_at(surfaces, (h % F.lit(len(pool)) + 1).cast("int")),
                 F.lit("today"),
             ),
+        ).when(
+            h % 7 == 1,
+            # relation phrasing so the pattern matcher has real hits
+            F.concat_ws(
+                " ",
+                F.col("chunk"),
+                F.lit("."),
+                F.element_at(surfaces, (h % F.lit(len(pool)) + 1).cast("int")),
+                F.lit("works at"),
+                F.element_at(
+                    surfaces, ((h + 13) % F.lit(len(pool)) + 1).cast("int")
+                ),
+                F.lit("now"),
+            ),
         ).otherwise(F.col("chunk"))
     else:
         planted = F.col("chunk")
@@ -492,6 +506,23 @@ def q_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_near_duplicates(docs, pairs).select("doc_id", "source", "n_chars")
 
 
+def q_entity_relations(spark: SparkSession, sf: str) -> DataFrame:
+    # typed relation extraction (pattern scan + normalized entity join)
+    _prep(spark)
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import (
+        distinct_vertices,
+        extract_mentions,
+    )
+    from neuronews_spark.operators.relations import extract_relations
+
+    convs = assemble_conversations(derived_transcripts(spark, sf, plant=True))
+    vertices = distinct_vertices(extract_mentions(convs))
+    return extract_relations(convs, vertices).select(
+        "conv_id", "relation_type", "src_node_id", "dst_node_id", "confidence"
+    )
+
+
 def q_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.event_clustering import (
@@ -630,6 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank_events,
         "dup_clusters": q_dup_clusters,
         "dedup_docs": q_dedup_docs,
+        "entity_relations": q_entity_relations,
         "event_clusters": q_event_clusters,
     }
 
