@@ -53,7 +53,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_000_000))
 SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 3_000_000))
 SCALING_BASE = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", 2))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 4))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
@@ -186,25 +186,34 @@ def _measure_scaling() -> dict:
     """Interleaved adaptive legs (see module docstring): best-per-leg over
     up to SCALING_ROUNDS rounds of (N, 4N); early-stop at target."""
     n_cores, n4_cores = SCALING_BASE, SCALING_BASE * 4
+    # infrastructure control first: the DRAM bus this single box offers N
+    # vs 4N cores (a multi-executor cluster has per-node memory and does
+    # not see this ceiling). Individual probes get crushed by co-tenant
+    # load exactly like the pipeline legs, and a ratio of two different
+    # noise windows is meaningless — so each side's capacity is the max
+    # over samples (noise only lowers throughput) taken before AND after
+    # the legs, and the ceiling is the ratio of those maxima (stable at
+    # ~2.2-2.6× across windows).
+    bw_samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     rounds_run = 0
     for _ in range(SCALING_ROUNDS):
         rounds_run += 1
         for cores in (n_cores, n4_cores):
+            bw_samples[cores].append(_bw_subprocess(cores))
             samples[cores].append(round(_run_leg_subprocess(cores), 1))
         eff = (max(samples[n4_cores]) / max(samples[n_cores])) / 4.0
-        # stop once the target is evidenced — but an efficiency above ~1
-        # is not evidence, it's a sign the small leg undersampled its
-        # capacity (noise only lowers throughput); keep sampling
+        # stop once the absolute target is evidenced. An efficiency above
+        # ~1 is not evidence, it's a sign the small leg undersampled its
+        # capacity (noise only lowers throughput); keep sampling.
         if SCALING_TARGET_EFF <= eff <= 1.05:
             break
+    bw_n = max(bw_samples[n_cores])
+    bw_4n = max(bw_samples[n4_cores])
+    # 4N cores cannot have LESS aggregate bandwidth than N; a ratio below
+    # 1 just means the 4N probe never saw a quiet window
+    bw_speedup = max(bw_4n / bw_n, 1.0)
     speedup = max(samples[n4_cores]) / max(samples[n_cores])
-    # infrastructure control: the DRAM bus this single box offers N vs 4N
-    # cores (a multi-executor cluster has per-node memory and does not see
-    # this ceiling) — pipeline scaling is graded against what the box allows
-    bw_n = _bw_subprocess(n_cores)
-    bw_4n = _bw_subprocess(n4_cores)
-    bw_speedup = bw_4n / bw_n
     return {
         "cores_n": n_cores,
         "cores_4n": n4_cores,
@@ -212,6 +221,8 @@ def _measure_scaling() -> dict:
         "rounds": rounds_run,
         "samples_n": samples[n_cores],
         "samples_4n": samples[n4_cores],
+        "bw_samples_n": [round(x / 1e9, 1) for x in bw_samples[n_cores]],
+        "bw_samples_4n": [round(x / 1e9, 1) for x in bw_samples[n4_cores]],
         "turns_per_sec_n": round(max(samples[n_cores]), 1),
         "turns_per_sec_4n": round(max(samples[n4_cores]), 1),
         "efficiency": round(min(speedup / 4.0, 1.0), 3),
