@@ -26,9 +26,13 @@ This microVM's vCPUs are host-oversubscribed: identical runs measure up to
 docs/ARCHITECTURE.md). Because noise only ever *lowers* throughput, true
 capacity per leg is estimated as the max over samples, and the legs are
 INTERLEAVED (N, 4N, N, 4N, ...) over up to SPARK_GRAFT_SCALING_ROUNDS
-rounds so both legs get a shot at a quiet window; rounds stop early once
-efficiency ≥ 0.8 is evidenced. N defaults to 2 (→ 4N = 8), overridable
-via SPARK_GRAFT_SCALING_BASE; set SPARK_GRAFT_SKIP_SCALING=1 to skip.
+rounds so both legs get a shot at a quiet window. At least
+SPARK_GRAFT_SCALING_MIN_ROUNDS rounds always run, and once the target is
+evidenced one extra confirmation round still runs, so the stop rule
+cannot select its own stopping round; unclamped ratios are reported
+alongside the clamped headline numbers. N defaults to 2 (→ 4N = 8),
+overridable via SPARK_GRAFT_SCALING_BASE; SPARK_GRAFT_SKIP_SCALING=1
+skips the block.
 """
 
 from __future__ import annotations
@@ -51,9 +55,10 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_000_000))
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 3_000_000))
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 2_000_000))
 SCALING_BASE = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", 2))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 4))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 6))
+SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 3))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
@@ -183,37 +188,62 @@ def _run_leg_subprocess(cores: int) -> float:
 
 
 def _measure_scaling() -> dict:
-    """Interleaved adaptive legs (see module docstring): best-per-leg over
-    up to SCALING_ROUNDS rounds of (N, 4N); early-stop at target."""
+    """Interleaved legs (see module docstring): best-per-leg over rounds of
+    (N, 4N).
+
+    Protocol guards against selection bias (round-1 review findings): a
+    fixed minimum of SCALING_MIN_ROUNDS rounds always runs; once the target
+    efficiency is evidenced ONE extra confirmation round still runs (so the
+    early-stop cannot select its own stopping round); all ratios are
+    reported unclamped alongside the clamped headline numbers; and the
+    memory-bandwidth probes bracket the legs (one probe per side before
+    each round's legs plus a final probe per side after the last round)."""
     n_cores, n4_cores = SCALING_BASE, SCALING_BASE * 4
-    # infrastructure control first: the DRAM bus this single box offers N
-    # vs 4N cores (a multi-executor cluster has per-node memory and does
-    # not see this ceiling). Individual probes get crushed by co-tenant
-    # load exactly like the pipeline legs, and a ratio of two different
-    # noise windows is meaningless — so each side's capacity is the max
-    # over samples (noise only lowers throughput) taken before AND after
-    # the legs, and the ceiling is the ratio of those maxima (stable at
-    # ~2.2-2.6× across windows).
+    # infrastructure control: the DRAM bus this single box offers N vs 4N
+    # cores (a multi-executor cluster has per-node memory and does not see
+    # this ceiling). Individual probes get crushed by co-tenant load
+    # exactly like the pipeline legs, and a ratio of two different noise
+    # windows is meaningless — so each side's capacity is the max over
+    # samples (noise only lowers throughput).
     bw_samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     rounds_run = 0
+    confirm_rounds_left = None  # becomes 1 when the target is first hit
     for _ in range(SCALING_ROUNDS):
         rounds_run += 1
         for cores in (n_cores, n4_cores):
             bw_samples[cores].append(_bw_subprocess(cores))
             samples[cores].append(round(_run_leg_subprocess(cores), 1))
-        eff = (max(samples[n4_cores]) / max(samples[n_cores])) / 4.0
-        # stop once the absolute target is evidenced. An efficiency above
-        # ~1 is not evidence, it's a sign the small leg undersampled its
-        # capacity (noise only lowers throughput); keep sampling.
-        if SCALING_TARGET_EFF <= eff <= 1.05:
-            break
+        if confirm_rounds_left is not None:
+            confirm_rounds_left -= 1
+            if confirm_rounds_left <= 0:
+                break
+            continue
+        if rounds_run < SCALING_MIN_ROUNDS:
+            continue
+        speedup = max(samples[n4_cores]) / max(samples[n_cores])
+        bw_ratio = max(bw_samples[n4_cores]) / max(bw_samples[n_cores])
+        # target evidenced either raw or bandwidth-normalized → schedule
+        # ONE more confirmation round and then stop (its samples are
+        # included in the reported stats either way)
+        if speedup / 4.0 >= SCALING_TARGET_EFF or (
+            bw_ratio > 1.0 and speedup / bw_ratio >= SCALING_TARGET_EFF
+        ):
+            confirm_rounds_left = 1
+    # final bracket: one more bandwidth probe per side AFTER the legs
+    for cores in (n_cores, n4_cores):
+        bw_samples[cores].append(_bw_subprocess(cores))
     bw_n = max(bw_samples[n_cores])
     bw_4n = max(bw_samples[n4_cores])
-    # 4N cores cannot have LESS aggregate bandwidth than N; a ratio below
-    # 1 just means the 4N probe never saw a quiet window
-    bw_speedup = max(bw_4n / bw_n, 1.0)
+    bw_speedup_raw = bw_4n / bw_n
+    # 4N cores cannot have LESS aggregate bandwidth than N; a ratio below 1
+    # just means the 4N probe never saw a quiet window — clamped value is
+    # the headline, raw value is reported beside it
+    bw_speedup = max(bw_speedup_raw, 1.0)
     speedup = max(samples[n4_cores]) / max(samples[n_cores])
+    paired = [
+        round((b / a), 3) for a, b in zip(samples[n_cores], samples[n4_cores])
+    ]
     return {
         "cores_n": n_cores,
         "cores_4n": n4_cores,
@@ -221,14 +251,19 @@ def _measure_scaling() -> dict:
         "rounds": rounds_run,
         "samples_n": samples[n_cores],
         "samples_4n": samples[n4_cores],
-        "bw_samples_n": [round(x / 1e9, 1) for x in bw_samples[n_cores]],
-        "bw_samples_4n": [round(x / 1e9, 1) for x in bw_samples[n4_cores]],
+        "bw_samples_n": [round(x, 1) for x in bw_samples[n_cores]],
+        "bw_samples_4n": [round(x, 1) for x in bw_samples[n4_cores]],
+        "paired_round_speedups": paired,
         "turns_per_sec_n": round(max(samples[n_cores]), 1),
         "turns_per_sec_4n": round(max(samples[n4_cores]), 1),
+        "speedup_raw": round(speedup, 3),
+        "efficiency_raw": round(speedup / 4.0, 3),
         "efficiency": round(min(speedup / 4.0, 1.0), 3),
         "mem_bw_gbps_n": round(bw_n, 1),
         "mem_bw_gbps_4n": round(bw_4n, 1),
+        "mem_bw_speedup_raw": round(bw_speedup_raw, 2),
         "mem_bw_speedup": round(bw_speedup, 2),
+        "efficiency_vs_bandwidth_raw": round(speedup / bw_speedup, 3),
         "efficiency_vs_bandwidth": round(min(speedup / bw_speedup, 1.0), 3),
     }
 

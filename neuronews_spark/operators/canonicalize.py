@@ -126,10 +126,18 @@ def mentions_to_edges(mentions: DataFrame) -> DataFrame:
     )
 
 
-def build_mention_edges(mentions: DataFrame, id_map: DataFrame) -> DataFrame:
+def build_mention_edges(
+    mentions: DataFrame,
+    id_map: DataFrame,
+    confidence: float = 0.8,
+    extractor: str = "heuristic-ner",
+) -> DataFrame:
     """Fused ``mentions_to_edges`` → ``remap_edges`` →
     ``accumulate_provenance`` for the MENTIONS edge table (same output
-    schema and semantics).
+    schema and semantics — valid ONLY when the mention frame's
+    confidence/extractor columns are the constants passed here, as
+    ``extract_mentions`` produces; callers with per-row provenance must
+    use the generic three-operator path instead).
 
     Every provenance field is a pure function of (conv_id, mention_idx)
     plus constants, so the shuffle carries only the group keys and one int
@@ -160,9 +168,9 @@ def build_mention_edges(mentions: DataFrame, id_map: DataFrame) -> DataFrame:
     def _prov(idx):
         return F.struct(
             F.col("conv_id").alias("source_doc"),
-            F.lit(0.8).alias("confidence"),
+            F.lit(confidence).alias("confidence"),
             F.concat_ws("#", F.col("conv_id"), idx.cast("string")).alias("chunk_id"),
-            F.lit("heuristic-ner").alias("extractor"),
+            F.lit(extractor).alias("extractor"),
         )
 
     subject = node_id(F.lit("Document"), F.col("conv_id"))

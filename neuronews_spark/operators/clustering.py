@@ -98,7 +98,10 @@ def _components_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.select("src", "dst").collect():
+    # toLocalIterator streams one partition at a time: the driver never holds
+    # the full list of Row objects, only the parent dict (two interned-ish
+    # strings per node — the real driver-heap cost, which the size gate bounds)
+    for r in edges.select("src", "dst").toLocalIterator(prefetchPartitions=True):
         a, b = r["src"], r["dst"]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -114,9 +117,12 @@ def _components_driver(edges: DataFrame) -> DataFrame:
     )
 
 
-# edge sets at or below this collect to the driver (~100 bytes/edge →
-# ~200 MB at the gate); above it the large-star/small-star loop engages
-DRIVER_CC_MAX_EDGES = 2_000_000
+# edge sets at or below this collect to the driver; the sustained cost is
+# the union-find parent dict (≤2 nodes/edge × two ~17-char string ids +
+# dict overhead ≈ 150-300 bytes/node → ~0.3-0.6 GB at the gate — rows
+# themselves stream via toLocalIterator and are not all held at once).
+# Above it the large-star/small-star loop engages.
+DRIVER_CC_MAX_EDGES = 1_000_000
 
 
 def connected_components(

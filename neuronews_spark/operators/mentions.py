@@ -300,9 +300,14 @@ def distinct_vertices(mentions: DataFrame) -> DataFrame:
     state, and the list building then runs over distinct surfaces only
     (~10-100x fewer rows than mention instances).
     """
+    # entity confidence = max over its mention instances — the reference's
+    # dedup-merge keeps max confidence per entity
+    # (enhanced_entity_extractor.py:570-597); 0.8 = extract_mentions default
+    conf = F.col("confidence") if "confidence" in mentions.columns else F.lit(0.8)
     stats = mentions.groupBy("entity_type", "node_id").agg(
         F.max("norm").alias("norm"),
         F.count(F.lit(1)).alias("n_mentions"),
+        F.max(conf).alias("confidence"),
     )
     convs = (
         mentions.select("node_id", "conv_id")
@@ -321,5 +326,6 @@ def distinct_vertices(mentions: DataFrame) -> DataFrame:
         )
     )
     return stats.join(names, "node_id").join(convs, "node_id").select(
-        "entity_type", "node_id", "name", "norm", "aliases", "n_mentions", "n_convs"
+        "entity_type", "node_id", "name", "norm", "aliases", "n_mentions",
+        "n_convs", "confidence",
     )

@@ -162,7 +162,24 @@ def extract_relations(
 
     src_toks, dst_toks = _toks(F.col("src_surface")), _toks(F.col("dst_surface"))
     k = F.sequence(F.lit(1), F.lit(_MAX_SURFACE_TOKENS))
-    # source = token suffix of group 1; target = token prefix of group 2
+
+    def _norms(surface_arr):
+        # each candidate surface joins under BOTH normal forms: the plain
+        # resolution norm and the org-suffix-stripped variant. Vertex norms
+        # are type-conditional (Organization names drop legal suffixes), and
+        # a candidate's type is unknown before the join — emitting both
+        # forms keeps 'Acme Corp' joinable to the Organization vertex whose
+        # norm is 'acme' (round-1 review: suffixed-org relations were
+        # silently dropped otherwise).
+        plain = F.transform(surface_arr, lambda s: normalize_name(s))
+        stripped = F.transform(
+            surface_arr,
+            lambda s: normalize_name(s, entity_type=F.lit("Organization")),
+        )
+        return F.array_distinct(
+            F.filter(F.concat(plain, stripped), lambda s: s != F.lit(""))
+        )
+
     src_cands = F.array_distinct(F.filter(
         F.transform(k, lambda i: F.array_join(
             F.slice(src_toks, F.greatest(F.size(src_toks) - i + 1, F.lit(1)), i), " ")),
@@ -173,29 +190,34 @@ def extract_relations(
         lambda s: s != F.lit(""),
     ))
     cand = (
-        cand.withColumn("src_cand", F.explode(src_cands))
-        .withColumn("dst_cand", F.explode(dst_cands))
-        .select(
-            "conv_id", "relation_type", "context",
-            normalize_name(F.col("src_cand")).alias("src_norm"),
-            normalize_name(F.col("dst_cand")).alias("dst_norm"),
-        )
+        cand.withColumn("src_norm", F.explode(_norms(src_cands)))
+        .withColumn("dst_norm", F.explode(_norms(dst_cands)))
+        .select("conv_id", "relation_type", "context", "src_norm", "dst_norm")
+    )
+    vconf = (
+        F.col("confidence")
+        if "confidence" in vertices.columns
+        else F.lit(mention_confidence)
     )
     v = vertices.select(
         F.col("norm").alias("_vnorm"),
         F.col("node_id").alias("_vid"),
         F.col("name").alias("_vname"),
+        vconf.alias("_vconf"),
     ).dropDuplicates(["_vnorm"])
-    conf = F.round(
-        F.least(F.lit(mention_confidence), F.lit(mention_confidence)) * 0.9, 6
-    )
+    # rel confidence = min(src, dst entity confidence) × 0.9
+    # (enhanced_entity_extractor.py:676-681) — the per-entity confidences
+    # come through the vertex join, not a constant fold
+    conf = F.round(F.least(F.col("_src_conf"), F.col("_dst_conf")) * 0.9, 6)
     out = (
         cand.join(v.withColumnRenamed("_vnorm", "src_norm"), "src_norm")
         .withColumnRenamed("_vid", "src_node_id")
         .withColumnRenamed("_vname", "src_name")
+        .withColumnRenamed("_vconf", "_src_conf")
         .join(v.withColumnRenamed("_vnorm", "dst_norm"), "dst_norm")
         .withColumnRenamed("_vid", "dst_node_id")
         .withColumnRenamed("_vname", "dst_name")
+        .withColumnRenamed("_vconf", "_dst_conf")
         .filter(F.col("src_node_id") != F.col("dst_node_id"))
         .select(
             "conv_id", "relation_type", "src_node_id", "dst_node_id",
