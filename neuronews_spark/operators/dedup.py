@@ -133,9 +133,41 @@ def minhash_near_duplicates(
 
 # -------------------------------------------------------------- simhash
 
+def simhash_from_hashes_udf():
+    """SimHash signature from an array<long> of token xxhash64 values, as
+    an Arrow-batched pandas UDF: per row one numpy (n_tokens × 64) bit
+    expansion + majority vote. Bit-identical to :func:`simhash64` (the
+    pure-Column reference kernel, differentially tested) but the tokens
+    are hashed ONCE JVM-side and the 64 bit votes happen in vectorized
+    numpy — the Column version re-walks the token array per bit position
+    through Spark's interpreted higher-order functions (~64 passes/row;
+    measured several-fold slower, same trade-off as srp_signature_udf)."""
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def sig(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            n = h.size
+            if n == 0:
+                continue
+            bits = (h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            majority = (bits.sum(axis=0) * 2) > n
+            s = weights[majority].sum(dtype=np.uint64)
+            out[i] = np.array(s, dtype=np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return sig
+
+
 def simhash64(tokens_col: Column) -> Column:
     """64-bit SimHash of a token array, as pure Column bit math: for each
-    bit position the signed vote is summed over token xxhash64 values."""
+    bit position the signed vote is summed over token xxhash64 values.
+
+    Reference kernel for :func:`simhash_from_hashes_udf` (the fast path
+    used by :func:`simhash_near_duplicates`); kept as the no-Python-workers
+    alternative and the differential-test oracle."""
     # votes[b] = sum over tokens of (bit b set ? +1 : -1)
     # = 2 * count(bit set) - n
     n = F.size(tokens_col)
@@ -169,11 +201,18 @@ def simhash_near_duplicates(
 
     Bucketing by the 4 16-bit bands of the signature: two signatures within
     Hamming distance 3 must agree on ≥1 band (pigeonhole), so the band join
-    is a lossless candidate generator for max_hamming ≤ 3."""
+    is a lossless candidate generator for max_hamming ≤ 3.
+
+    Signature kernel: tokens are lower-cased and xxhash64'd once JVM-side
+    (a single higher-order pass), then the 64-bit majority vote runs in the
+    Arrow-batched numpy UDF — bit-identical to the pure-Column
+    :func:`simhash64` but without its 64 interpreted passes per row."""
     toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
-    sigs = df.select(F.col(id_col).alias("doc"), simhash64(toks).alias("sig")).filter(
-        F.size(ws_tokens(F.col(text_col))) > 0
-    )
+    token_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sig_udf = simhash_from_hashes_udf()
+    sigs = df.select(
+        F.col(id_col).alias("doc"), sig_udf(token_hashes).alias("sig")
+    ).filter(F.size(ws_tokens(F.col(text_col))) > 0)
     bands = []
     for b in range(4):
         bands.append(
@@ -318,8 +357,17 @@ def srp_lsh_near_dups(
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
+        # empty-result schema must match the non-empty path's id type
+        id_type = df.schema[id_col].dataType
         return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, sim double"
+            [],
+            T.StructType(
+                [
+                    T.StructField("id_a", id_type),
+                    T.StructField("id_b", id_type),
+                    T.StructField("sim", T.DoubleType()),
+                ]
+            ),
         )
     sig = srp_signature_udf(n_planes, int(dim_row["d"]), seed)
 

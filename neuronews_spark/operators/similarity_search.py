@@ -107,12 +107,26 @@ def ivf_topk(
     tunable via (n_centroids, n_probe); exactness is recovered at
     n_probe = n_centroids.
     """
+    # deterministic hash sample WITHOUT touching most of the table: a cheap
+    # pmod(hash) predicate prunes ~127/128 of rows before any vector payload
+    # moves, then orderBy(h).limit(k) compiles to TakeOrderedAndProject
+    # (per-partition top-k + driver merge — no global sort/shuffle). The
+    # pre-fix version ran the top-k over the FULL table, which at 100x scale
+    # made centroid picking the query's dominant stage.
+    hashed = vectors.select(
+        F.col(id_col).alias("i"),
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+    )
     sample = (
-        vectors.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("i").cast("string"), F.lit(seed)))
+        hashed.filter(F.pmod("h", F.lit(128)) == 0)
+        .orderBy("h")
         .limit(n_centroids)
         .collect()
     )
+    if len(sample) < n_centroids:
+        # small-table fallback: the filter over-pruned; top-k over all rows
+        sample = hashed.orderBy("h").limit(n_centroids).collect()
     cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample])
 
     v_assign = _assign_udf(cents, 1)

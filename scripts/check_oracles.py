@@ -1,0 +1,94 @@
+"""Pre-flight mirror of the driver's correctness gate.
+
+Runs selected ``queries()`` entries through Spark AND their
+``oracle_sql()`` mirror through DuckDB at sf0.01, then compares row
+count, column names, and exact cell values (columns sorted by name, rows
+sorted by all columns) — the same contract the driver value-hashes.
+
+Usage: python scripts/check_oracles.py [query ...]   (default: all oracled)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import duckdb  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    names = sys.argv[1:]
+    oracles = entrymod.oracle_sql()
+    queries = entrymod.queries()
+    if not names:
+        names = [n for n in queries if n in oracles]
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{SF}/{t}.parquet'")
+
+    failed = []
+    for name in names:
+        if name not in oracles:
+            print(f"{name}: NO ORACLE (rows-only)")
+            continue
+        try:
+            sdf = queries[name](spark, SF).toPandas()
+            odf = con.sql(oracles[name]).df()
+            s, o = _canon(sdf), _canon(odf)
+            if list(s.columns) != list(o.columns):
+                raise AssertionError(f"schema {list(s.columns)} != {list(o.columns)}")
+            if len(s) != len(o):
+                raise AssertionError(f"rows {len(s)} != {len(o)}")
+            # exact cell equality after canonicalization (floats included:
+            # both sides round explicitly inside the queries)
+            mism = (s.astype(str).values != o.astype(str).values).sum()
+            if mism:
+                diff_rows = (s.astype(str) != o.astype(str)).any(axis=1)
+                print(s[diff_rows].head(3))
+                print(o[diff_rows].head(3))
+                raise AssertionError(f"{mism} mismatched cells")
+            print(f"{name}: OK ({len(s)} rows)")
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: FAIL — {exc}")
+            failed.append(name)
+    spark.stop()
+    if failed:
+        print("FAILED:", failed)
+        return 1
+    print("all green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

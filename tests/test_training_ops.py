@@ -88,6 +88,31 @@ def test_simhash_exact_dups_have_zero_hamming(spark):
     assert got.get((1, 2)) == 0  # identical text → identical signature
 
 
+def test_simhash_fast_kernel_matches_column_reference(spark):
+    """The Arrow-UDF signature (hash-once + numpy majority vote) must be
+    bit-identical to the pure-Column simhash64 reference kernel."""
+    from neuronews_spark.operators.dedup import simhash64, simhash_from_hashes_udf
+    from neuronews_spark.operators.text_stats import ws_tokens
+
+    d = _docs(spark).union(
+        spark.createDataFrame(
+            [(7, "Unicode wörds ärè fine too ümlaut", "s"), (8, "single", "s")],
+            "doc_id long, text string, source string",
+        )
+    )
+    toks = F.transform(ws_tokens(F.col("text")), lambda x: F.lower(x))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    sig_udf = simhash_from_hashes_udf()
+    rows = d.select(
+        "doc_id",
+        simhash64(toks).alias("ref_sig"),
+        sig_udf(hashes).alias("fast_sig"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["ref_sig"] == r["fast_sig"], r
+
+
 def test_ngram_jaccard_pairs_blocked(spark):
     d = _docs(spark)
     got = {
