@@ -727,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "sentence_chunks": q_sentence_chunks,
         "pattern_entities": q_pattern_entities,
+        "doc_embeddings": q_doc_embeddings,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -740,6 +741,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_docs": q_dedup_docs,
         "entity_relations": q_entity_relations,
         "event_clusters": q_event_clusters,
+        "text_srp_near_dups": q_text_srp_near_dups,
+        "text_event_clusters": q_text_event_clusters,
     }
 
 
@@ -865,6 +868,30 @@ def oracle_sql() -> dict[str, str]:
     cc = _cc_over_jaccard_pairs_cte()
     return {
         "pattern_entities": _pattern_entities_sql(),
+        "doc_embeddings": """
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> lower(x))) AS token
+              FROM documents),
+            b AS MATERIALIZED (
+              SELECT doc,
+                     (('0x' || substring(md5(token), 1, 8))::bigint % 64) AS bucket
+              FROM toks),
+            tf AS (SELECT doc, bucket, count(*)::double AS tf FROM b GROUP BY 1, 2),
+            nn AS (SELECT count(DISTINCT doc_id)::double AS n FROM documents),
+            dfb AS (
+              SELECT bucket, count(*)::double AS df
+              FROM (SELECT DISTINCT doc, bucket FROM b) GROUP BY 1),
+            w AS MATERIALIZED (
+              SELECT doc, tf.bucket,
+                     tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfb USING (bucket) CROSS JOIN nn),
+            norms AS (SELECT doc, sqrt(sum(w * w)) AS l2 FROM w GROUP BY doc)
+            SELECT doc, bucket, round(w / l2, 6) AS value
+            FROM w JOIN norms USING (doc)
+        """,
         "dup_clusters": cc + "SELECT n AS doc_id, component FROM comp",
         "dedup_docs": cc + """
             SELECT doc_id, source, n_chars FROM documents
