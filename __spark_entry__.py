@@ -496,6 +496,50 @@ def q_sentence_chunks(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _doc_edge_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Timestamped mention-edge event log derived from documents: the
+    content-word-bigram mentions (same re-keyed rule as dim_entity_docs)
+    become MENTIONS edges with a deterministic per-doc event time
+    (added_at = epoch 1.7e9 + doc_id·1000 s — documents carry no ts)."""
+    from neuronews_spark.functions.normalize import node_id
+
+    d = _t(spark, sf, "documents")
+    ents = F.expr(r"regexp_extract_all(text, '([a-z]{4,} [a-z]{4,})', 1)")
+    m = d.select("doc_id", F.explode(ents).alias("entity_text"))
+    etype = (
+        F.when(F.col("entity_text").rlike("s$"), "ORGANIZATION")
+        .when(F.col("entity_text").rlike("^[a-z]{5} "), "PERSON")
+        .otherwise(F.lit("CONCEPT"))
+    )
+    return m.select(
+        node_id(F.lit("Document"), F.col("doc_id").cast("string")).alias("subject_id"),
+        F.lit("MENTIONS").alias("predicate"),
+        node_id(etype, F.col("entity_text")).alias("object_id"),
+        F.col("entity_text").alias("object_name"),
+        etype.alias("object_type"),
+        F.col("doc_id").cast("string").alias("source_doc"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("doc_id") * 1000
+        ).alias("added_at"),
+    )
+
+
+def q_emerging_connections(spark: SparkSession, sf: str) -> DataFrame:
+    # kg_updater.py:233-273 — triples added in the trailing window
+    _prep(spark)
+    from neuronews_spark.operators.temporal import emerging_connections
+
+    return emerging_connections(_doc_edge_events(spark, sf), since_days=7, limit=50)
+
+
+def q_evolving_topics(spark: SparkSession, sf: str) -> DataFrame:
+    # kg_updater.py:275-317 — entities ranked by new MENTIONS in window
+    _prep(spark)
+    from neuronews_spark.operators.temporal import evolving_topics
+
+    return evolving_topics(_doc_edge_events(spark, sf), window_days=30, top_n=20)
+
+
 def q_doc_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     # hashed TF-IDF doc vectors from raw text (article_embedder.py:55-340
     # analog, SURVEY §2.10) — sparse (doc, bucket, value) form so the
@@ -728,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_chunks": q_sentence_chunks,
         "pattern_entities": q_pattern_entities,
         "doc_embeddings": q_doc_embeddings,
+        "emerging_connections": q_emerging_connections,
+        "evolving_topics": q_evolving_topics,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -862,11 +908,67 @@ def _pattern_entities_sql() -> str:
     """
 
 
+_EDGE_EVENTS_CTE = """
+    m AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(text, '([a-z]{4,} [a-z]{4,})', 1))
+               AS entity_text
+      FROM documents),
+    typed AS (
+      SELECT doc_id, entity_text,
+             CASE WHEN regexp_matches(entity_text, 's$') THEN 'ORGANIZATION'
+                  WHEN regexp_matches(entity_text, '^[a-z]{5} ') THEN 'PERSON'
+                  ELSE 'CONCEPT' END AS etype
+      FROM m),
+    ev AS MATERIALIZED (
+      SELECT 'document:' || substring(md5('Document:' || doc_id::varchar), 1, 12)
+               AS subject_id,
+             'MENTIONS' AS predicate,
+             lower(etype) || ':' || substring(md5(etype || ':' || entity_text), 1, 12)
+               AS object_id,
+             entity_text AS object_name,
+             etype AS object_type,
+             doc_id::varchar AS source_doc,
+             make_timestamp((1700000000 + doc_id * 1000) * 1000000)
+               AS added_at
+      FROM typed),
+    mx AS (SELECT max(added_at) AS mts FROM ev)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
     neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
     cc = _cc_over_jaccard_pairs_cte()
     return {
+        "emerging_connections": f"""
+            WITH {_EDGE_EVENTS_CTE.strip()}
+            SELECT subject_id, predicate, object_id, object_name,
+                   object_type, source_doc, added_at
+            FROM ev, mx
+            WHERE added_at >= mts - INTERVAL 7 DAY
+            ORDER BY added_at DESC, source_doc DESC, object_id DESC
+            LIMIT 50
+        """,
+        "evolving_topics": f"""
+            WITH {_EDGE_EVENTS_CTE.strip()},
+            agg AS (
+              SELECT object_id AS entity_id, object_name AS name,
+                     object_type AS type,
+                     count(*) AS new_connections,
+                     count(DISTINCT source_doc) AS n_docs,
+                     array_to_string(list_sort(list_distinct(list(source_doc))), ',')
+                       AS source_docs
+              FROM ev, mx
+              WHERE added_at >= mts - INTERVAL 30 DAY
+              GROUP BY 1, 2, 3)
+            SELECT entity_id, name, type, new_connections, n_docs, source_docs,
+                   row_number() OVER (ORDER BY new_connections DESC, entity_id ASC)
+                     AS rank
+            FROM agg
+            ORDER BY new_connections DESC, entity_id ASC
+            LIMIT 20
+        """,
         "pattern_entities": _pattern_entities_sql(),
         "doc_embeddings": """
             WITH toks AS (

@@ -1,0 +1,91 @@
+"""Kafka option builders (batch_backfill_kafka.py:44-120 semantics, pure
+and unit-testable without a broker) + streaming progress listener →
+lineage metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta
+
+from neuronews_spark.streaming.kafka_source import (
+    ProgressCapture,
+    batch_options_by_offsets,
+    batch_options_by_timestamps,
+    batch_options_from_beginning,
+    offsets_json,
+    stream_options,
+)
+
+
+def test_offsets_json_multi_partition():
+    s = offsets_json("articles", {1: 50, 0: 10})
+    assert json.loads(s) == {"articles": {"0": 10, "1": 50}}
+
+
+def test_batch_options_by_offsets_single_int_is_partition_zero():
+    opts = batch_options_by_offsets("t", "broker:9092", 100, 200)
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 100}}
+    assert json.loads(opts["endingOffsets"]) == {"t": {"0": 200}}
+    assert opts["subscribe"] == "t"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+
+
+def test_batch_options_by_offsets_per_partition_maps():
+    opts = batch_options_by_offsets("t", "b", {0: 1, 1: 2}, {0: 10, 1: 20})
+    assert json.loads(opts["startingOffsets"]) == {"t": {"0": 1, "1": 2}}
+    assert json.loads(opts["endingOffsets"]) == {"t": {"0": 10, "1": 20}}
+
+
+def test_batch_options_by_timestamps_ms():
+    opts = batch_options_by_timestamps("t", "b", 1700000000000, 1700003600000)
+    assert opts["startingTimestamp"] == "1700000000000"
+    assert opts["endingTimestamp"] == "1700003600000"
+
+
+def test_beginning_and_stream_options():
+    b = batch_options_from_beginning("t", "b")
+    assert (b["startingOffsets"], b["endingOffsets"]) == ("earliest", "latest")
+    s = stream_options("t", "b")
+    assert s["startingOffsets"] == "earliest"
+    assert s["failOnDataLoss"] == "false"
+
+
+def test_progress_listener_records_throughput_to_lineage(spark, tmp_path):
+    """File-stream stand-in for the Kafka stream: the listener captures
+    per-batch rows/s and flush() lands them in the lineage table
+    (stream_write_raw_exactly_once.py:207-215 as a listener)."""
+    from neuronews_spark.lineage import LineageWriter
+    from neuronews_spark.streaming.ingest import start_dedup_to_memory
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    t0 = datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [("k1", t0, "a"), ("k2", t0 + timedelta(minutes=1), "b")],
+        "id string, published_at timestamp, title string",
+    ).coalesce(1).write.parquet(src + "/b1")
+
+    cap = ProgressCapture()
+    spark.streams.addListener(cap)
+    stream = (
+        spark.readStream.schema("id string, published_at timestamp, title string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    q = start_dedup_to_memory(stream, "kafka_listener_out")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.streams.removeListener(cap)
+    assert any(m == "num_input_rows" and v >= 2 for m, _, v in cap.rows)
+
+    lineage = LineageWriter(spark, str(tmp_path / "lineage"))
+    n = cap.flush(lineage)
+    # (listener events may still trickle in asynchronously after flush —
+    # flush drains the snapshot it sees, so only assert what it wrote)
+    assert n > 0
+    got = lineage.read().filter("stage = 'streaming'").collect()
+    metrics = {r["metric"] for r in got}
+    assert "num_input_rows" in metrics
