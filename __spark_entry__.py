@@ -90,7 +90,13 @@ def derived_transcripts(spark: SparkSession, sf_dir: str, plant: bool = True) ->
     if plant:
         pool, _v = _text_pools(42)
         surfaces = F.array(*[F.lit(s) for s in pool])
-        h = F.pmod(F.xxhash64(F.col("doc_id"), F.col("turn_idx")), F.lit(2**31))
+        # Knuth-style integer mix instead of xxhash64: same planting
+        # behavior, but expressible in DuckDB so the mention-extraction
+        # pipeline over the planted corpus can be oracle-checked end to end
+        h = F.pmod(
+            F.col("doc_id") * F.lit(2654435761) + F.col("turn_idx") * F.lit(40503),
+            F.lit(2**31),
+        )
         planted = F.when(
             h % 3 == 0,
             F.concat_ws(
@@ -696,13 +702,20 @@ def q_entity_resolution(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_mention_extraction(spark: SparkSession, sf: str) -> DataFrame:
+    # derive → assemble → extract, oracled end to end: the DuckDB mirror
+    # rebuilds the planted transcripts, reassembles, and replays the full
+    # extraction kernel (CAP_SEQ scan, stop/length filters, preceding-word
+    # type inference, resolution norm, surrogate node id). mention_idx is
+    # intentionally not part of the contract (DuckDB's list_distinct does
+    # not define order); per-document order is covered by pytest
+    # differential tests instead.
     _prep(spark)
     from neuronews_spark.operators.conversations import assemble_conversations
     from neuronews_spark.operators.mentions import extract_mentions
 
     t = derived_transcripts(spark, sf, plant=True)
     return extract_mentions(assemble_conversations(t)).select(
-        "conv_id", "mention_idx", "name", "entity_type", "norm", "node_id"
+        "conv_id", "name", "entity_type", "norm", "node_id"
     )
 
 
@@ -908,6 +921,113 @@ def _pattern_entities_sql() -> str:
     """
 
 
+def _mention_extraction_sql() -> str:
+    """DuckDB mirror of q_mention_extraction: rebuild the planted
+    transcripts (8-word chunks + integer-hash planting), reassemble in
+    turn order, then replay the extraction kernel — the SQL twin of
+    mentions.mention_structs_column (itself differentially tested against
+    the Arrow-UDF kernel)."""
+    from neuronews_spark.operators.mentions import (
+        ORG_SUFFIXES,
+        PERSON_TITLES,
+        STOP,
+    )
+    from neuronews_spark.sources.synthetic import _text_pools
+
+    pool, _v = _text_pools(42)
+    p = len(pool)
+    pool_sql = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in pool) + "]"
+    stop_sql = _sql_list(sorted(STOP))
+    titles_sql = _sql_list(sorted(PERSON_TITLES))
+    orgs_sql = _sql_list(sorted(ORG_SUFFIXES))
+    cap_seq = r"\b([A-Z][a-z]{1,}(?:\s+[A-Z][a-z]{1,}){0,3})\b"
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, 'conv_' || doc_id::varchar AS conv_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM documents),
+        turns AS (
+          SELECT conv_id, doc_id, words,
+                 unnest(range(greatest(ceil(len(words) / 8.0), 1)::bigint))::int
+                   AS turn_idx
+          FROM docs),
+        chunks AS (
+          SELECT conv_id, turn_idx,
+                 array_to_string(
+                   list_slice(words, turn_idx * 8 + 1, turn_idx * 8 + 8), ' ')
+                   AS chunk,
+                 (doc_id * 2654435761 + turn_idx * 40503) % 2147483648 AS h
+          FROM turns),
+        ptext AS (
+          SELECT conv_id, turn_idx,
+                 CASE WHEN h % 3 = 0
+                      THEN chunk || ' we discussed ' || ({pool_sql})[(h % {p})::int + 1]
+                           || ' today'
+                      WHEN h % 7 = 1
+                      THEN chunk || ' . ' || ({pool_sql})[(h % {p})::int + 1]
+                           || ' works at ' || ({pool_sql})[((h + 13) % {p})::int + 1]
+                           || ' now'
+                      ELSE chunk END AS t
+          FROM chunks),
+        assembled AS MATERIALIZED (
+          SELECT conv_id, string_agg(t, ' ' ORDER BY turn_idx) AS doc_text
+          FROM ptext GROUP BY conv_id),
+        ker AS MATERIALIZED (
+          SELECT conv_id,
+                 list_filter(
+                   list_distinct(regexp_extract_all(doc_text, '{cap_seq}', 1)),
+                   n -> length(n) >= 3
+                        AND NOT list_contains({stop_sql},
+                              string_split_regex(n, '\\s+')[1])
+                        AND NOT list_contains({stop_sql}, n)) AS kept,
+                 list_transform(
+                   list_filter(string_split_regex(doc_text, '\\s+'), w -> w <> ''),
+                   w -> regexp_replace(w, '[.,;:"'']+$', '')) AS stripped
+          FROM assembled),
+        mentions AS (
+          SELECT conv_id, unnest(kept) AS name, stripped FROM ker),
+        pos AS (
+          SELECT conv_id, name, stripped,
+                 string_split_regex(name, '\\s+') AS toks,
+                 list_position(
+                   list_slice(stripped, 2, len(stripped)),
+                   string_split_regex(name, '\\s+')[1]) AS j
+          FROM mentions),
+        inferred AS (
+          SELECT conv_id, name, toks,
+                 CASE WHEN j IS NOT NULL AND j > 0
+                      THEN regexp_replace(stripped[j], '\\.+$', '')
+                      ELSE '' END AS preceding
+          FROM pos),
+        etyped AS (
+          SELECT conv_id, name,
+                 CASE WHEN list_contains({titles_sql}, toks[1])
+                           OR list_contains({titles_sql}, preceding)
+                      THEN 'Person'
+                      WHEN len(list_filter(toks,
+                             t -> list_contains({orgs_sql}, t))) > 0
+                      THEN 'Organization'
+                      WHEN len(toks) = 2 THEN 'Person'
+                      ELSE 'Concept' END AS entity_type
+          FROM inferred),
+        final AS (
+          SELECT conv_id, name, entity_type,
+                 trim(regexp_replace(regexp_replace(
+                   CASE WHEN entity_type = 'Organization'
+                        THEN regexp_replace(lower(name),
+                          '\\b(inc|llc|corp|corporation|ltd|co|company|plc|gmbh|sa|ag)\\b',
+                          ' ', 'g')
+                        ELSE lower(name) END,
+                   '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
+          FROM etyped)
+        SELECT conv_id, name, entity_type, norm,
+               lower(entity_type) || ':' || substring(md5(entity_type || ':'
+                 || lower(trim(regexp_replace(name, '\\s+', ' ', 'g')))), 1, 12)
+                 AS node_id
+        FROM final WHERE norm <> ''
+    """
+
+
 _EDGE_EVENTS_CTE = """
     m AS (
       SELECT doc_id,
@@ -970,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "pattern_entities": _pattern_entities_sql(),
+        "mention_extraction": _mention_extraction_sql(),
         "doc_embeddings": """
             WITH toks AS (
               SELECT doc_id AS doc,
