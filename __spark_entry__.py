@@ -165,7 +165,7 @@ _FUZZY_STOPS = ["the", "a", "an", "and", "or", "but", "in", "on", "at", "to",
 
 
 def _sql_list(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + "]"
 
 
 def _sql_in(words: list[str]) -> str:
@@ -546,6 +546,83 @@ def q_evolving_topics(spark: SparkSession, sf: str) -> DataFrame:
     return evolving_topics(_doc_edge_events(spark, sf), window_days=30, top_n=20)
 
 
+# planted claim sentences: the synthetic vocabulary contains no claim
+# verbs, so each doc gets one appended claim sentence chosen by an
+# integer hash — covering the positive, aux-negation, modal-negation,
+# question-rejection, and plain branches of the extractor
+_CLAIM_TEMPLATES = [
+    "the pipeline improves throughput under load",
+    "the cache does not improve latency",
+    "is this a question?",
+    "the scheduler cannot reduce cost",
+    "the planner yields better plans",
+]
+
+
+def q_doc_claims(spark: SparkSession, sf: str) -> DataFrame:
+    # claim_extractor.py:22-166 — verb-anchored SPO claims with negation.
+    # The Spark side runs the real operator including the lookbehind
+    # sentence split; the DuckDB mirror rebuilds the two sentences
+    # directly (RE2 has no lookbehind) — valid because the corpus itself
+    # carries no [.!?]. Multi-sentence splitting is also covered by the
+    # differential pytest kernel.
+    _prep(spark)
+    from neuronews_spark.operators.claims import extract_claims
+
+    d = _t(spark, sf, "documents")
+    h5 = F.pmod(F.col("doc_id") * 2654435761 + 17, F.lit(2**31)) % 5
+    claim = F.element_at(
+        F.array(*[F.lit(t) for t in _CLAIM_TEMPLATES]), (h5 + 1).cast("int")
+    )
+    planted = d.select(
+        "doc_id", F.concat(F.col("text"), F.lit(". "), claim).alias("text")
+    )
+    return extract_claims(planted)
+
+
+def q_media_timestamps(spark: SparkSession, sf: str) -> DataFrame:
+    # media/models.py:19-31 — HH:MM:SS formatting + stable segment ids
+    # over a deterministic per-event start time
+    _prep(spark)
+    from neuronews_spark.functions.format import format_timestamp, segment_id
+
+    ev = _t(spark, sf, "events")
+    start_s = (
+        F.pmod(F.col("event_id") * 7919, F.lit(90000))
+        + (F.col("event_id") % 1000) / 1000.0
+    )
+    return ev.select(
+        "event_id",
+        F.round(start_s, 3).alias("start_s"),
+        format_timestamp(start_s).alias("hhmmss"),
+        segment_id(F.col("event_id"), start_s).alias("segment_id"),
+    )
+
+
+def q_timeline_linkage(spark: SparkSession, sf: str) -> DataFrame:
+    # historical/timeline linkage (nlp_populator.py:429-497 shape): each
+    # active entity (user) left-joined to its historical records in a
+    # reference table, with timeline aggregates on both sides
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    orders = _t(spark, sf, "orders")
+    ev_agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_event"),
+        F.max("ts").alias("last_event"),
+    )
+    ord_agg = orders.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+    )
+    return ev_agg.join(ord_agg, "user_id", "left").select(
+        "user_id", "n_events", "first_event", "last_event",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        "first_order", "last_order",
+    )
+
+
 def q_doc_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     # hashed TF-IDF doc vectors from raw text (article_embedder.py:55-340
     # analog, SURVEY §2.10) — sparse (doc, bucket, value) form so the
@@ -787,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embeddings": q_doc_embeddings,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
+        "doc_claims": q_doc_claims,
+        "media_timestamps": q_media_timestamps,
+        "timeline_linkage": q_timeline_linkage,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -1028,6 +1108,71 @@ def _mention_extraction_sql() -> str:
     """
 
 
+def _doc_claims_sql() -> str:
+    """DuckDB mirror of q_doc_claims — single-sentence form (valid for
+    this punctuation-free corpus; see q_doc_claims note)."""
+    from neuronews_spark.operators.claims import AUX, CLAIM_VERBS, NEG
+
+    verbs = _sql_list(CLAIM_VERBS)
+    auxneg = _sql_list(AUX + NEG)
+    neg = _sql_list(NEG)
+    templates = _sql_list(_CLAIM_TEMPLATES)
+    return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 text || '.' AS s0,
+                 ({templates})[
+                   ((doc_id * 2654435761 + 17) % 2147483648 % 5)::int + 1
+                 ] AS claim
+          FROM documents),
+        sents AS (
+          SELECT doc_id AS doc, 0 AS sent_idx, trim(s0) AS s FROM base
+          UNION ALL
+          SELECT doc_id, 1, trim(claim) FROM base),
+        w AS (
+          SELECT doc, sent_idx, s,
+                 regexp_extract_all(s, '[A-Za-z0-9'']+') AS words
+          FROM sents),
+        l AS (
+          SELECT doc, sent_idx, s, words,
+                 list_transform(words, x -> lower(x)) AS lw,
+                 len(words) AS n
+          FROM w),
+        v AS (
+          SELECT *, list_min(list_filter(list_transform(
+                   range(1, n + 1),
+                   i -> CASE WHEN list_contains({verbs}, lw[i::int]) THEN i END),
+                 x -> x IS NOT NULL)) AS vidx
+          FROM l),
+        jx AS (
+          SELECT *, list_max(list_filter(list_transform(
+                   range(1, n + 1),
+                   i -> CASE WHEN i < vidx
+                             AND NOT list_contains({auxneg}, lw[i::int])
+                        THEN i END),
+                 x -> x IS NOT NULL)) AS j
+          FROM v),
+        ok AS (
+          SELECT * FROM jx
+          WHERE NOT regexp_matches(s, '\\?$') AND n >= 3
+            AND vidx IS NOT NULL AND vidx > 1 AND vidx < n AND j IS NOT NULL)
+        SELECT doc, sent_idx, s AS claim_text,
+               array_to_string(list_slice(words, 1, j::int), ' ') AS subject,
+               lw[vidx::int] AS predicate,
+               array_to_string(list_slice(words, vidx::int + 1, n::int), ' ')
+                 AS object,
+               (len(list_filter(list_transform(
+                    range(1, n + 1),
+                    i -> CASE WHEN i > j AND i < vidx
+                              AND list_contains({neg}, lw[i::int])
+                         THEN i END),
+                  x -> x IS NOT NULL)) > 0
+                OR lw[vidx::int] IN ('fails', 'fail')) AS negated,
+               0.6::double AS confidence
+        FROM ok
+    """
+
+
 _EDGE_EVENTS_CTE = """
     m AS (
       SELECT doc_id,
@@ -1091,6 +1236,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pattern_entities": _pattern_entities_sql(),
         "mention_extraction": _mention_extraction_sql(),
+        "doc_claims": _doc_claims_sql(),
+        "media_timestamps": """
+            WITH s AS (
+              SELECT event_id,
+                     (event_id * 7919) % 90000 + (event_id % 1000) / 1000.0
+                       AS start_s
+              FROM events)
+            SELECT event_id, round(start_s, 3) AS start_s,
+                   CASE WHEN floor(start_s)::bigint // 3600 > 0
+                        THEN printf('%d:%02d:%02d',
+                               floor(start_s)::bigint // 3600,
+                               (floor(start_s)::bigint % 3600) // 60,
+                               floor(start_s)::bigint % 60)
+                        ELSE printf('%d:%02d',
+                               (floor(start_s)::bigint % 3600) // 60,
+                               floor(start_s)::bigint % 60) END AS hhmmss,
+                   printf('%s#t=%.3f', event_id::varchar, start_s) AS segment_id
+            FROM s
+        """,
+        "timeline_linkage": """
+            WITH ev AS (
+              SELECT user_id, count(*) AS n_events,
+                     min(ts) AS first_event, max(ts) AS last_event
+              FROM events GROUP BY user_id),
+            oa AS (
+              SELECT o_custkey AS user_id, count(*) AS n_orders,
+                     min(o_orderdate) AS first_order,
+                     max(o_orderdate) AS last_order
+              FROM orders GROUP BY o_custkey)
+            SELECT ev.user_id, n_events, first_event, last_event,
+                   coalesce(n_orders, 0) AS n_orders, first_order, last_order
+            FROM ev LEFT JOIN oa ON ev.user_id = oa.user_id
+        """,
         "doc_embeddings": """
             WITH toks AS (
               SELECT doc_id AS doc,
