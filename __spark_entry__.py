@@ -580,6 +580,23 @@ def q_doc_claims(spark: SparkSession, sf: str) -> DataFrame:
     return extract_claims(planted)
 
 
+def q_outlet_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # outlet_clustering.py:88-303 — frame vectors → silhouette-selected
+    # KMeans/Ward → PCA coords. Iterative float clustering → rows-only.
+    _prep(spark)
+    from neuronews_spark.operators.outlet_clustering import (
+        build_outlet_vectors,
+        run_outlet_clustering,
+    )
+
+    vecs = build_outlet_vectors(_t(spark, sf, "documents"))
+    res = run_outlet_clustering(vecs, k_min=2, k_max=6)
+    return res.assignments.select(
+        "source", "doc_count", "cluster_id", "cluster_label", "dominant_frame",
+        F.round("pca_x", 6).alias("pca_x"), F.round("pca_y", 6).alias("pca_y"),
+    )
+
+
 def q_media_timestamps(spark: SparkSession, sf: str) -> DataFrame:
     # media/models.py:19-31 — HH:MM:SS formatting + stable segment ids
     # over a deterministic per-event start time
@@ -882,6 +899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_clusters": q_event_clusters,
         "text_srp_near_dups": q_text_srp_near_dups,
         "text_event_clusters": q_text_event_clusters,
+        "outlet_clusters": q_outlet_clusters,
     }
 
 

@@ -145,6 +145,25 @@ def iceberg_ddl(
     )
 
 
+def apply_write_distribution(
+    df: "DataFrame",
+    distribution_col: str,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Local equivalent of Iceberg's write distribution/ordering
+    (upsert_enriched.py:62-64: ``ALTER TABLE ... WRITE ORDERED BY
+    published_at, id`` + ``write.distribution-mode=hash``): hash-
+    repartition on the distribution column, then sort WITHIN partitions —
+    no global sort, files come out clustered for scan-time pruning."""
+    parts = (
+        df.repartition(num_partitions, distribution_col)
+        if num_partitions
+        else df.repartition(distribution_col)
+    )
+    return parts.sortWithinPartitions(*order_cols)
+
+
 def iceberg_merge_sql(table: str, key: str, columns: list[str]) -> str:
     """The MERGE these upserts run on a real Iceberg catalog
     (upsert_enriched.py:170-195 pattern)."""

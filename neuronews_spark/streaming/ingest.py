@@ -86,6 +86,7 @@ def start_exactly_once_merge(
     key: str = "id",
     dedup_order: str | None = None,
     checkpoint_dir: str | None = None,
+    processing_time: str | None = None,
 ) -> StreamingQuery:
     """Exactly-once sink: every micro-batch MERGEs into the target keyed by
     ``key`` (stream_write_raw_exactly_once.py:132-173). Re-delivered batches
@@ -100,4 +101,8 @@ def start_exactly_once_merge(
     writer = stream.writeStream.foreachBatch(_merge).outputMode("update")
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
+    if processing_time:
+        # micro-batch cadence (stream_write_raw_exactly_once.py:172:
+        # trigger(processingTime='10 seconds'))
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()

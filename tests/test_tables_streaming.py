@@ -143,3 +143,62 @@ def test_exactly_once_foreachbatch_merge(spark, tmp_path):
     assert set(rows) == {"a", "b", "c"}
     assert rows["a"]["title"] == "v2"  # later batch won the merge
     assert cat.duplicate_audit("raw", "id").count() == 0
+
+
+def test_write_distribution_clusters_and_orders(spark, tmp_path):
+    """Local write distribution/ordering (upsert_enriched.py:62-64 analog):
+    rows hash-partition by the distribution column and come out sorted
+    within every partition."""
+    from pyspark.sql import functions as F
+
+    from neuronews_spark.sources.tables import apply_write_distribution
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("bucket"), F.col("id").alias("id")
+    )
+    out = apply_write_distribution(df, "bucket", ["id"], num_partitions=4)
+    parts = out.select(
+        F.spark_partition_id().alias("pid"), "bucket", "id"
+    ).collect()
+    by_pid: dict[int, list] = {}
+    buckets_per_pid: dict[int, set] = {}
+    for r in parts:
+        by_pid.setdefault(r["pid"], []).append(r["id"])
+        buckets_per_pid.setdefault(r["pid"], set()).add(r["bucket"])
+    # sorted within every partition
+    assert all(ids == sorted(ids) for ids in by_pid.values())
+    # each bucket lands in exactly one partition (hash distribution)
+    seen: dict[int, int] = {}
+    for pid, buckets in buckets_per_pid.items():
+        for b in buckets:
+            assert seen.setdefault(b, pid) == pid
+
+
+def test_processing_time_trigger_merges(spark, tmp_path):
+    """trigger(processingTime=...) wrapper still reaches exactly-once
+    merge semantics (stream_write_raw_exactly_once.py:172)."""
+    src = str(tmp_path / "stream_src3")
+    os.makedirs(src)
+    _write_batch_file(spark, src, [("x", T0, "v1")], "b1")
+    cat = ParquetCatalog(spark, str(tmp_path / "wh3"))
+    stream = (
+        spark.readStream.schema("id string, published_at timestamp, title string")
+        .parquet(src + "/*")
+    )
+    q = start_exactly_once_merge(
+        stream, cat, "raw", key="id",
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            try:
+                if cat.read("raw").count() >= 1:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {r["id"] for r in cat.read("raw").collect()} == {"x"}
