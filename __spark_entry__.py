@@ -986,7 +986,7 @@ def _pattern_entities_sql() -> str:
         WITH pats(etype, conf, pat) AS (
           VALUES {rows}),
         m0 AS (
-          SELECT d.doc_id AS doc, p.etype, p.conf,
+          SELECT d.doc_id AS doc, p.etype, p.conf::double AS conf,
                  unnest(regexp_extract_all(d.text, p.pat)) AS s
           FROM documents d CROSS JOIN pats p),
         m AS MATERIALIZED (

@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "fingerprint_md5",
     "assemble_roundtrip",
     "mention_extraction",
+    "pattern_entities",
+    "doc_embeddings",
+    "text_srp_near_dups",
+    "doc_claims",
     "entity_resolution",
 ]
 

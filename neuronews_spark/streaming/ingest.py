@@ -50,6 +50,17 @@ def parse_json_stream(raw: DataFrame, schema: T.StructType = ARTICLE_SCHEMA) -> 
     )
 
 
+def to_json_records(df: DataFrame, key_col: str = "id") -> DataFrame:
+    """Inverse of :func:`parse_json_stream`: serialize rows to the Kafka
+    producer shape (key, value) with ``to_json`` over all columns — the
+    ``to_json`` half of the reference's JSON ser/de surface
+    (enhanced_graph_populator.py:551-560, document_model.py:61-82)."""
+    payload = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    return df.select(
+        F.col(key_col).cast("string").alias("key"), payload.alias("value")
+    )
+
+
 def watermark_dedup(
     stream: DataFrame,
     ts_col: str = "published_at",

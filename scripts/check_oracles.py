@@ -29,10 +29,16 @@ TABLES = [
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Decimal cells must FAIL against float cells like the driver's
+            # compare does — surface the type, don't stringify it away
+            df[c] = df[c].map(
+                lambda v: f"dec:{v}" if isinstance(v, decimal.Decimal) else v
+            ).astype(str)
     df = df.sort_values(list(df.columns)).reset_index(drop=True)
     return df
 

@@ -89,3 +89,25 @@ def test_progress_listener_records_throughput_to_lineage(spark, tmp_path):
     got = lineage.read().filter("stage = 'streaming'").collect()
     metrics = {r["metric"] for r in got}
     assert "num_input_rows" in metrics
+
+
+def test_to_json_roundtrip(spark):
+    """to_json_records → parse_json_stream round-trips the article shape
+    (the to_json half of the JSON ser/de surface)."""
+    from datetime import datetime
+
+    from neuronews_spark.streaming.ingest import parse_json_stream, to_json_records
+
+    rows = [
+        ("a1", datetime(2024, 1, 1, 12, 0), "Title", "Body", "src", "http://x"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, published_at timestamp, title string, body string,"
+        "source string, url string",
+    )
+    ser = to_json_records(df, key_col="id")
+    assert ser.columns == ["key", "value"]
+    back = parse_json_stream(ser).collect()[0]
+    assert back["id"] == "a1" and back["title"] == "Title"
+    assert back["published_at"] == rows[0][1]
