@@ -49,15 +49,26 @@ def hashed_tfidf_features(
     round(tf·idf / l2, 6), idf = ln((N+1)/(df+1)) + 1 (the same smoothed
     formula as tfidf_keywords). Deterministic, UDF-free, oracle-mirrorable.
     """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
     toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
     t = df.select(F.col(id_col).alias("doc"), F.explode(toks).alias("token")).select(
         "doc", F.pmod(_bucket(F.col("token")), F.lit(dim)).alias("bucket")
     )
-    tf = t.groupBy("doc", "bucket").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).first()["n"]
+    # ONE scan + one shuffle produces tf; everything downstream (document
+    # frequency, corpus size, weights, norms) derives from the cached tf
+    # frame (≤ n_docs × dim rows — a dim-fold compression of the corpus),
+    # so the raw table is never re-read. Pre-rewrite plan read documents
+    # 3-4 times.
+    tf = (
+        t.groupBy("doc", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = tf.select(F.countDistinct("doc").alias("n")).first()["n"]
     dfb = (
-        t.distinct()
-        .groupBy("bucket")
+        tf.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn(
             "idf", F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
@@ -66,14 +77,11 @@ def hashed_tfidf_features(
     w = tf.join(F.broadcast(dfb.select("bucket", "idf")), "bucket").select(
         "doc", "bucket", (F.col("tf") * F.col("idf")).alias("w")
     )
-    norms = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("l2"))
-    return (
-        w.join(norms, "doc")
-        .select(
-            "doc",
-            "bucket",
-            F.round(F.col("w") / F.col("l2"), 6).alias("value"),
-        )
+    # per-doc l2 via a window instead of an aggregate + self-join: one
+    # shuffle on doc, no recompute of the weight pipeline
+    l2 = F.sqrt(F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc")))
+    return w.select(
+        "doc", "bucket", F.round(F.col("w") / l2, 6).alias("value")
     )
 
 
