@@ -580,6 +580,35 @@ def q_doc_claims(spark: SparkSession, sf: str) -> DataFrame:
     return extract_claims(planted)
 
 
+def q_top_influencers(spark: SparkSession, sf: str) -> DataFrame:
+    # influence_network_analyzer.py:55-60 — top-N nodes by PageRank
+    _prep(spark)
+    from neuronews_spark.operators.graph import top_influencers
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    top = top_influencers(edges, k=10, alpha=0.85, iterations=10)
+    return top.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+def q_component_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # component-size distribution of the duplicate-cluster graph — the
+    # reference's graph-health metric (api/graph/metrics.py components)
+    _prep(spark)
+    from neuronews_spark.operators.clustering import connected_components
+    from neuronews_spark.operators.graph import component_stats
+
+    pairs = _jaccard_pairs(spark, sf)
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    return component_stats(connected_components(edges))
+
+
 def q_outlet_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # outlet_clustering.py:88-303 — frame vectors → silhouette-selected
     # KMeans/Ward → PCA coords. Iterative float clustering → rows-only.
@@ -884,6 +913,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_claims": q_doc_claims,
         "media_timestamps": q_media_timestamps,
         "timeline_linkage": q_timeline_linkage,
+        "top_influencers": q_top_influencers,
+        "component_stats": q_component_stats,
         # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
@@ -932,10 +963,14 @@ def _cc_over_jaccard_pairs_cte() -> str:
     """
 
 
-def _pagerank_sql(alpha: float = 0.85, iterations: int = 10) -> str:
+def _pagerank_sql(
+    alpha: float = 0.85, iterations: int = 10, final_clause: str = ""
+) -> str:
     """Fixed-iteration PageRank with dangling-mass redistribution as
     chained CTEs — the SQL mirror of neuronews_spark.operators.graph
-    .pagerank (rank' = (1-α)/N + α·(Σ_in rank/out_deg + dangling/N))."""
+    .pagerank (rank' = (1-α)/N + α·(Σ_in rank/out_deg + dangling/N)).
+    ``final_clause`` appends e.g. an ORDER BY/LIMIT for the top-k form
+    (ordering on the unrounded rank, as the Spark side does)."""
     one_minus = 1.0 - alpha
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     # iteration references its predecessor twice — inlining makes the plan
@@ -965,6 +1000,7 @@ def _pagerank_sql(alpha: float = 0.85, iterations: int = 10) -> str:
     return (
         "WITH " + ",".join(ctes)
         + f"\nSELECT n AS node_id, round(rank, 6) AS rank FROM pr{iterations}"
+        + final_clause
     )
 
 
@@ -1318,6 +1354,15 @@ def oracle_sql() -> dict[str, str]:
                   (SELECT n FROM comp WHERE n <> component)
         """,
         "pagerank_events": _pagerank_sql(alpha=0.85, iterations=10),
+        "top_influencers": _pagerank_sql(
+            alpha=0.85, iterations=10,
+            final_clause="\nORDER BY rank DESC, n ASC LIMIT 10",
+        ),
+        "component_stats": cc + """
+            SELECT size, count(*) AS n_components
+            FROM (SELECT component, count(*) AS size FROM comp GROUP BY component)
+            GROUP BY size
+        """,
         "latest_event_per_user_type": """
             SELECT user_id, event_type, event_id, ts, value
             FROM (SELECT *, row_number() OVER (

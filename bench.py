@@ -26,13 +26,17 @@ This microVM's vCPUs are host-oversubscribed: identical runs measure up to
 docs/ARCHITECTURE.md). Because noise only ever *lowers* throughput, true
 capacity per leg is estimated as the max over samples, and the legs are
 INTERLEAVED (N, 4N, N, 4N, ...) over up to SPARK_GRAFT_SCALING_ROUNDS
-rounds so both legs get a shot at a quiet window. At least
-SPARK_GRAFT_SCALING_MIN_ROUNDS rounds always run, and once the target is
-evidenced one extra confirmation round still runs, so the stop rule
-cannot select its own stopping round; unclamped ratios are reported
-alongside the clamped headline numbers. N defaults to 2 (→ 4N = 8),
-overridable via SPARK_GRAFT_SCALING_BASE; SPARK_GRAFT_SKIP_SCALING=1
-skips the block.
+rounds so both legs get a shot at a quiet window, and each leg
+subprocess takes SPARK_GRAFT_LEG_SAMPLES timed samples after its single
+warmup (amortizing the ~70 s JVM+warmup fixed cost across samples —
+with 3-10x host noise, sample COUNT is what tightens the max-over-
+samples capacity estimate). At least SPARK_GRAFT_SCALING_MIN_ROUNDS
+rounds always run, and once the target is evidenced one extra
+confirmation round still runs, so the stop rule cannot select its own
+stopping round; unclamped ratios are reported alongside the clamped
+headline numbers. Bandwidth probes run best-of-SPARK_GRAFT_BW_REPEATS
+per call. N defaults to 2 (→ 4N = 8), overridable via
+SPARK_GRAFT_SCALING_BASE; SPARK_GRAFT_SKIP_SCALING=1 skips the block.
 """
 
 from __future__ import annotations
@@ -55,10 +59,17 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_000_000))
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 2_000_000))
+# 1M turns per timed sample (far above the ~25 s fixed-cost floor), with
+# SEVERAL timed samples per subprocess leg: the dominant per-sample cost
+# on this box is host-noise variance, so amortizing the ~70 s JVM+warmup
+# across LEG_SAMPLES samples buys ~3x the samples per wall-clock minute —
+# the thing that actually tightens the max-over-samples estimate
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 1_000_000))
 SCALING_BASE = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", 2))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 6))
-SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 3))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
+SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 2))
+LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 3))
+BW_REPEATS = int(os.environ.get("SPARK_GRAFT_BW_REPEATS", 3))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
 
@@ -119,29 +130,40 @@ def _run_er_job(spark: SparkSession, n_turns: int) -> tuple[float, int]:
 
 
 def _leg_main(cores: int) -> None:
-    """Subprocess entry: one taskset-bound scaling leg → one JSON line.
+    """Subprocess entry: one taskset-bound scaling leg → one JSON line
+    with LEG_SAMPLES timed samples.
 
-    A tiny warmup run precedes the timed run: the first pipeline execution
-    pays ~25-30 s of size-independent JVM work (whole-stage codegen
-    compilation, Python worker spawn, parquet/committer init) that a
-    long-lived cluster pays once at startup, not per job — timing it would
-    measure JIT latency, not data scaling."""
+    A tiny warmup run precedes the timed runs: the first pipeline
+    execution pays ~25-30 s of size-independent JVM work (whole-stage
+    codegen compilation, Python worker spawn, parquet/committer init)
+    that a long-lived cluster pays once at startup, not per job — timing
+    it would measure JIT latency, not data scaling. The repeated timed
+    runs inside one JVM each span their own multi-minute noise window."""
     spark = _session(cores)
     try:
         _run_er_job(spark, 5_000)
-        sec, n_entities = _run_er_job(spark, SCALING_TURNS)
+        secs = []
+        for _ in range(LEG_SAMPLES):
+            sec, _n_entities = _run_er_job(spark, SCALING_TURNS)
+            secs.append(sec)
     finally:
         spark.stop()
-    print(json.dumps({"sec": sec, "entities": n_entities}))
+    print(json.dumps({"secs": secs}))
 
 
 def _bw_main(workers: int) -> None:
-    """Subprocess entry: STREAM-like aggregate memory-bandwidth probe."""
+    """Subprocess entry: STREAM-like aggregate memory-bandwidth probe —
+    best of BW_REPEATS back-to-back runs (noise only lowers bandwidth,
+    and the probe is ~100x cheaper than a pipeline leg, so extra repeats
+    are the cheapest way to find the quiet-window ceiling)."""
     import multiprocessing as mp
 
+    best = 0.0
     with mp.Pool(workers) as p:
-        bws = p.map(_bw_stream, [256] * workers)
-    print(json.dumps({"gbps": sum(bws) / 1e9}))
+        for _ in range(BW_REPEATS):
+            bws = p.map(_bw_stream, [256] * workers)
+            best = max(best, sum(bws) / 1e9)
+    print(json.dumps({"gbps": best}))
 
 
 def _bw_stream(n_mb: int) -> float:
@@ -175,8 +197,9 @@ def _bw_subprocess(cores: int) -> float:
     return json.loads(out[-1])["gbps"]
 
 
-def _run_leg_subprocess(cores: int) -> float:
-    """Run one leg bound to ``cores`` vCPUs; returns turns/sec."""
+def _run_leg_subprocess(cores: int) -> list[float]:
+    """Run one leg bound to ``cores`` vCPUs; returns LEG_SAMPLES
+    turns/sec samples."""
     import shutil
     import subprocess
 
@@ -187,8 +210,8 @@ def _run_leg_subprocess(cores: int) -> float:
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True
     ).stdout.strip().splitlines()
-    sec = json.loads(out[-1])["sec"]
-    return SCALING_TURNS / sec
+    secs = json.loads(out[-1])["secs"]
+    return [SCALING_TURNS / s for s in secs]
 
 
 def _measure_scaling() -> dict:
@@ -217,7 +240,9 @@ def _measure_scaling() -> dict:
         rounds_run += 1
         for cores in (n_cores, n4_cores):
             bw_samples[cores].append(_bw_subprocess(cores))
-            samples[cores].append(round(_run_leg_subprocess(cores), 1))
+            samples[cores].extend(
+                round(t, 1) for t in _run_leg_subprocess(cores)
+            )
         if confirm_rounds_left is not None:
             confirm_rounds_left -= 1
             if confirm_rounds_left <= 0:
@@ -245,6 +270,7 @@ def _measure_scaling() -> dict:
     # the headline, raw value is reported beside it
     bw_speedup = max(bw_speedup_raw, 1.0)
     speedup = max(samples[n4_cores]) / max(samples[n_cores])
+    # time-adjacent sample pairs (same index = same interleave slot)
     paired = [
         round((b / a), 3) for a, b in zip(samples[n_cores], samples[n4_cores])
     ]
