@@ -232,8 +232,20 @@ def apply_corrections(
 
     Returns (nodes', edges'). The correction artifacts are broadcast; the
     node/edge tables are never collected — scale-safe for tables of any
-    size. Apply order = submission order (last write wins), matching the
-    reference's immediate-apply-on-approve semantics."""
+    size.
+
+    Ordering contract (PHASE semantics, deterministic and order-free for
+    a distributed batch apply): field corrections (rename / alias /
+    property) apply first in submission order with last-write-wins per
+    (entity, field), each keyed to the entity id it was SUBMITTED
+    against; merges apply last, chained to their final targets. This
+    matches the reference's immediate-apply-on-approve for every
+    scenario its behavioral suite exercises (no scenario interleaves
+    field ops with merges of the same entities); for streams that DO
+    interleave, the divergence is that a field op submitted against an
+    already-merged-away id updates that source's state (which the merge
+    then absorbs — e.g. a late rename surfaces as a target alias) rather
+    than mutating the merge target directly."""
     spark = nodes.sparkSession
     renames, alias_state, prop_state, merges = _consolidate(log.approved())
     id_map = _merge_id_map(merges)

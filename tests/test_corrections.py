@@ -163,3 +163,117 @@ def test_chained_merges_follow_final_target(spark):
     got = _collect(out)
     assert set(got) == {"c"}
     assert {"A", "B"} <= set(got["c"]["aliases"])
+
+
+def test_random_streams_match_sequential_replay(spark):
+    """Property: for random submit/approve/reject streams, the distributed
+    consolidate-and-join apply equals a simple sequential implementation
+    of the documented PHASE contract (field ops in submission order on
+    their submitted ids, then chained merges) — guarding the broadcast-
+    join plumbing against a dict-based single-machine reference."""
+    import random
+
+    rng = random.Random(1234)
+    ids = ["a", "b", "c", "d"]
+    for trial in range(4):
+        nodes = {
+            i: {"name": f"N{i}", "aliases": [f"al_{i}"], "props": {"k0": i}}
+            for i in ids
+        }
+        log = CorrectionLog()
+        ops = []
+        for _ in range(rng.randint(4, 14)):
+            e = rng.choice(list(nodes))
+            kind = rng.choice(
+                ["rename", "add_alias", "remove_alias",
+                 "add_property", "remove_property", "merge"]
+            )
+            if kind == "rename":
+                payload = {"new_name": f"R{rng.randint(0, 9)}"}
+            elif kind in ("add_alias", "remove_alias"):
+                payload = {"alias": f"al_{rng.randint(0, 5)}"}
+            elif kind == "add_property":
+                payload = {"key": f"k{rng.randint(0, 2)}", "value": str(rng.randint(0, 9))}
+            elif kind == "remove_property":
+                payload = {"key": f"k{rng.randint(0, 2)}"}
+            else:
+                src = rng.choice([i for i in ids if i != e])
+                payload = {"merge_from": src}
+            c = log.submit(e, kind, payload)
+            approved = rng.random() < 0.8
+            if approved:
+                log.approve(c.correction_id, "admin")
+            else:
+                log.reject(c.correction_id, "admin")
+            if approved:
+                ops.append((e, kind, payload))
+
+        # sequential implementation of the PHASE contract
+        store = {
+            i: {"name": v["name"], "aliases": list(v["aliases"]),
+                "props": {k: str(x) for k, x in v["props"].items()}}
+            for i, v in nodes.items()
+        }
+        # phase 1: field ops on their submitted ids, in order
+        for e, kind, payload in ops:
+            if kind == "merge":
+                continue
+            n = store[e]
+            if kind == "rename":
+                n["name"] = payload["new_name"]
+            elif kind == "add_alias":
+                if payload["alias"] not in n["aliases"]:
+                    n["aliases"].append(payload["alias"])
+            elif kind == "remove_alias":
+                if payload["alias"] in n["aliases"]:
+                    n["aliases"].remove(payload["alias"])
+            elif kind == "add_property":
+                n["props"][payload["key"]] = payload["value"]
+            elif kind == "remove_property":
+                n["props"].pop(payload["key"], None)
+        # phase 2: merges chained to final targets
+        final: dict[str, str] = {}
+        for e, kind, payload in ops:
+            if kind != "merge":
+                continue
+            t, s = final.get(e, e), payload["merge_from"]
+            for k, v in list(final.items()):
+                if v == s:
+                    final[k] = t
+            final[s] = t
+        # drop self-redirects that chaining may have created
+        final = {s: t for s, t in final.items() if s != t}
+        # absorb: group sources by final target, deterministic source order
+        by_target: dict[str, list[str]] = {}
+        for s, t in final.items():
+            by_target.setdefault(t, []).append(s)
+        for t, sources in by_target.items():
+            tn = store[t]
+            pool = list(tn["aliases"])
+            for s in sorted(sources):
+                sn = store.pop(s)
+                pool.extend(sn["aliases"])
+                pool.append(sn["name"])
+                for k, v in sn["props"].items():
+                    tn["props"].setdefault(k, v)
+            seen = []
+            for al in pool:
+                if al not in seen and al != tn["name"]:
+                    seen.append(al)
+            tn["aliases"] = seen
+
+        ndf = _nodes(
+            spark,
+            [(i, v["name"], v["aliases"], {k: str(x) for k, x in v["props"].items()})
+             for i, v in nodes.items()],
+        )
+        out, _ = apply_corrections(ndf, log)
+        got = {
+            r["node_id"]: (r["name"], sorted(r["aliases"]), dict(r["properties"]))
+            for r in out.collect()
+        }
+        want = {
+            i: (v["name"], sorted(v["aliases"]), dict(v["props"]))
+            for i, v in store.items()
+        }
+        assert got == want, (trial, got, want)
