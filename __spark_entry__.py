@@ -842,6 +842,38 @@ def q_mention_extraction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_er_lev_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # the north rule's normalized-Levenshtein scale scorer over the REAL
+    # mention surfaces: transcripts → assemble → extract → distinct norms
+    # → prefix-blocked self-join → Arrow-batched Wagner-Fischer kernel.
+    # Fully oracled: DuckDB replays the mention kernel (the
+    # mention_extraction mirror) and scores with its builtin integer
+    # levenshtein() — edit distance is FP-exact, so the match is bit-exact.
+    _prep(spark)
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import extract_mentions
+    from neuronews_spark.operators.scoring import lev_scored_pairs
+
+    t = derived_transcripts(spark, sf, plant=True)
+    m = extract_mentions(assemble_conversations(t))
+    return lev_scored_pairs(m, threshold=0.6)
+
+
+def q_er_scale_scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # both scale scorers (normalized Levenshtein + Jaro-Winkler) over the
+    # real mention surfaces, either-threshold survival — oracled against
+    # DuckDB's builtin levenshtein()/jaro_winkler_similarity() (verified
+    # formula-identical: 0.1 prefix weight, 4-char prefix, no boost gate)
+    _prep(spark)
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import extract_mentions
+    from neuronews_spark.operators.scoring import scale_scored_pairs
+
+    t = derived_transcripts(spark, sf, plant=True)
+    m = extract_mentions(assemble_conversations(t))
+    return scale_scored_pairs(m, lev_threshold=0.6, jw_threshold=0.75)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.dedup import minhash_near_duplicates
@@ -915,7 +947,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline_linkage": q_timeline_linkage,
         "top_influencers": q_top_influencers,
         "component_stats": q_component_stats,
-        # rows-only (non-SQL-expressible: LSH/xxhash, pandas-UDF, iterative CC)
+        "er_lev_pairs": q_er_lev_pairs,
+        "er_scale_scored_pairs": q_er_scale_scored_pairs,
+        # mention_extraction / minhash_near_dups / er_lev_pairs are fully
+        # oracled; the rest below are rows-only (non-SQL-expressible:
+        # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
         "entity_resolution": q_entity_resolution,
         "mention_extraction": q_mention_extraction,
         "minhash_near_dups": q_minhash_near_dups,
@@ -1290,6 +1326,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pattern_entities": _pattern_entities_sql(),
         "mention_extraction": _mention_extraction_sql(),
+        # Levenshtein-scored blocked pairs over the same mention mirror:
+        # integer edit distance is FP-exact, so lev_sim matches bit-exact.
+        # Filter applies to the ROUNDED value exactly as the Spark side.
+        "er_lev_pairs": f"""
+            WITH m AS ({_mention_extraction_sql()}),
+            v AS (
+              SELECT DISTINCT entity_type, norm FROM m WHERE norm <> ''
+            ),
+            bl AS (
+              SELECT entity_type, norm, string_split(norm, ' ')[1] AS bk
+              FROM v
+            )
+            SELECT a.entity_type,
+                   a.norm AS norm_a, b.norm AS norm_b,
+                   round(1.0 - levenshtein(a.norm, b.norm)::double
+                         / greatest(len(a.norm), len(b.norm), 1), 6) AS lev_sim
+            FROM bl a JOIN bl b
+              ON a.entity_type = b.entity_type AND a.bk = b.bk
+             AND a.norm < b.norm
+            WHERE round(1.0 - levenshtein(a.norm, b.norm)::double
+                        / greatest(len(a.norm), len(b.norm), 1), 6) >= 0.6
+        """,
+        # Both scale scorers; DuckDB's jaro_winkler_similarity verified
+        # formula-identical to the Arrow kernel (0.1 prefix weight, 4-char
+        # prefix cap, no boost gate) on boost-sensitive cases.
+        "er_scale_scored_pairs": f"""
+            WITH m AS ({_mention_extraction_sql()}),
+            v AS (
+              SELECT DISTINCT entity_type, norm FROM m WHERE norm <> ''
+            ),
+            bl AS (
+              SELECT entity_type, norm, string_split(norm, ' ')[1] AS bk
+              FROM v
+            ),
+            scored AS (
+              SELECT a.entity_type,
+                     a.norm AS norm_a, b.norm AS norm_b,
+                     round(1.0 - levenshtein(a.norm, b.norm)::double
+                           / greatest(len(a.norm), len(b.norm), 1), 6) AS lev_sim,
+                     round(jaro_winkler_similarity(a.norm, b.norm), 6)
+                       AS jaro_winkler
+              FROM bl a JOIN bl b
+                ON a.entity_type = b.entity_type AND a.bk = b.bk
+               AND a.norm < b.norm
+            )
+            SELECT * FROM scored
+            WHERE lev_sim >= 0.6 OR jaro_winkler >= 0.75
+        """,
         "doc_claims": _doc_claims_sql(),
         "media_timestamps": """
             WITH s AS (
@@ -1500,6 +1584,40 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.toks, b.toks))::double
                   / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.9
+        """,
+        # MinHash-LSH emits pairs verified with EXACT token-shingle Jaccard,
+        # so the oracle is the brute-force all-pairs Jaccard at the same
+        # threshold: candidate generation (xxhash64 bands, bucket caps) only
+        # affects recall, and the check proves recall is exact on this corpus
+        # (deterministic hashing, 32x8 bands => pair-miss prob ~2e-4 at
+        # J=0.9). Shingling mirrors dedup.minhash_near_duplicates: lowercase
+        # whitespace tokens -> distinct 3-token grams (<3 tokens => the
+        # whole string as one shingle); filter applies to the ROUNDED value
+        # exactly as the Spark side does.
+        "minhash_near_dups": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                     END AS shingles
+              FROM tk
+            ), nz AS (
+              SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.shingles, b.shingles))::double
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                     AS jaccard
+            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.shingles, b.shingles))::double
+                        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+                  >= 0.9
         """,
         "cosine_top5": """
             SELECT query_id, vec_id, sim, rank FROM (

@@ -23,20 +23,28 @@ efficiency). CPU affinity is the honest stand-in for an executor count.
 
 This microVM's vCPUs are host-oversubscribed: identical runs measure up to
 3-10x apart across multi-minute noise windows (documented in
-docs/ARCHITECTURE.md). Because noise only ever *lowers* throughput, true
-capacity per leg is estimated as the max over samples, and the legs are
-INTERLEAVED (N, 4N, N, 4N, ...) over up to SPARK_GRAFT_SCALING_ROUNDS
-rounds so both legs get a shot at a quiet window, and each leg
-subprocess takes SPARK_GRAFT_LEG_SAMPLES timed samples after its single
-warmup (amortizing the ~70 s JVM+warmup fixed cost across samples —
-with 3-10x host noise, sample COUNT is what tightens the max-over-
-samples capacity estimate). At least SPARK_GRAFT_SCALING_MIN_ROUNDS
-rounds always run, and once the target is evidenced one extra
-confirmation round still runs, so the stop rule cannot select its own
-stopping round; unclamped ratios are reported alongside the clamped
-headline numbers. Bandwidth probes run best-of-SPARK_GRAFT_BW_REPEATS
-per call. N defaults to 2 (→ 4N = 8), overridable via
-SPARK_GRAFT_SCALING_BASE; SPARK_GRAFT_SKIP_SCALING=1 skips the block.
+docs/ARCHITECTURE.md). Two instruments make the measurement honest anyway:
+
+  1. STEAL ACCOUNTING — each timed window's hypervisor-steal fraction is
+     read from /proc/stat (field 8) on the leg's taskset CPU set;
+     t_corrected = t×(1−steal) removes co-tenant contention that is
+     unambiguously not the job's doing (idle vCPUs accrue no steal, so
+     serial phases are never miscounted — see _steal_corrected_sec).
+  2. TWO-SIZE MARGINAL — each sample pair runs SMALL then BIG turns
+     back-to-back in one JVM; the per-turn slope between them subtracts
+     the per-job fixed driver cost exactly (see SCALING_TURNS comment).
+
+Because residual noise (DRAM/cache contention) still only *lowers*
+throughput, capacity per leg/size is min-over-samples of corrected time,
+and the legs are INTERLEAVED (N, 4N, N, 4N, ...) over up to
+SPARK_GRAFT_SCALING_ROUNDS rounds so both legs get quiet-window shots.
+At least SPARK_GRAFT_SCALING_MIN_ROUNDS rounds always run, and once the
+target is evidenced one extra confirmation round still runs, so the stop
+rule cannot select its own stopping round; unclamped ratios are reported
+alongside the clamped headline numbers. Bandwidth probes run
+best-of-SPARK_GRAFT_BW_REPEATS per call. N defaults to 2 (→ 4N = 8),
+overridable via SPARK_GRAFT_SCALING_BASE; SPARK_GRAFT_SKIP_SCALING=1
+skips the block; SPARK_GRAFT_SCALING_BUDGET caps the block's wall clock.
 """
 
 from __future__ import annotations
@@ -59,20 +67,23 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_000_000))
-# 3M turns per timed sample: big enough that the ~8-15 s of per-job
-# serial driver coordination (which at the 10^12-turn target amortizes
-# to nothing) stays a small fraction of the measurement — a two-size
-# probe showed job-level 2→8-core speedup rising from ~1.9x at 1M turns
-# to ~2.9x at 3M purely from fixed-cost dilution. SEVERAL timed samples
-# run per subprocess leg: the dominant per-sample cost on this box is
-# host-noise variance, so amortizing the ~70 s JVM+warmup across
-# LEG_SAMPLES samples buys ~3x the samples per wall-clock minute — the
-# thing that actually tightens the max-over-samples estimate
-SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 3_000_000))
+# Each timed sample runs the job at TWO sizes back-to-back (SMALL then
+# BIG in the same JVM, adjacent noise windows): the per-leg capacity is
+# the MARGINAL throughput (BIG-SMALL) / (t_big - t_small), which
+# subtracts the ~8-15 s of per-job serial driver coordination exactly.
+# At the 10^12-turn target that fixed cost amortizes to nothing, so the
+# marginal (per-turn slope) is the quantity that predicts cluster-scale
+# throughput; a single-size quotient at sandbox sizes measures mostly
+# Amdahl fixed cost (a two-size probe showed job-level 2→8-core speedup
+# rising from ~1.9x at 1M turns to ~2.9x at 3M purely from fixed-cost
+# dilution). Single-size raw numbers are still reported alongside.
+SCALING_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 4_000_000))
+SCALING_TURNS_SMALL = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS_SMALL", 1_000_000))
 SCALING_BASE = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", 2))
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 5))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 4))
 SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 2))
-LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 3))
+SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", 2700))
+LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 2))
 BW_REPEATS = int(os.environ.get("SPARK_GRAFT_BW_REPEATS", 3))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
@@ -133,26 +144,66 @@ def _run_er_job(spark: SparkSession, n_turns: int) -> tuple[float, int]:
     return time.perf_counter() - t0, n_entities
 
 
+def _cpu_ticks(cores: int) -> tuple[int, int, int]:
+    """(busy, idle, steal) jiffies summed over vCPUs 0..cores-1 from
+    /proc/stat. ``steal`` is time the hypervisor ran a co-tenant while
+    this guest's vCPU was runnable — host contention, unambiguously not
+    this job's doing. Idle vCPUs are not runnable and accrue no steal,
+    so genuine serial phases (driver-only work) are NOT miscounted as
+    steal. Returns zeros if the kernel does not expose the fields."""
+    busy = idle = steal = 0
+    try:
+        with open("/proc/stat") as fh:
+            for line in fh:
+                parts = line.split()
+                if not (parts and parts[0].startswith("cpu") and parts[0][3:].isdigit()):
+                    continue
+                if int(parts[0][3:]) >= cores:
+                    continue
+                v = [int(x) for x in parts[1:]]
+                if len(v) < 8:
+                    return 0, 0, 0
+                busy += v[0] + v[1] + v[2] + v[5] + v[6]  # user nice sys irq sirq
+                idle += v[3] + v[4]  # idle iowait
+                steal += v[7]
+    except OSError:
+        return 0, 0, 0
+    return busy, idle, steal
+
+
+def _timed_er(spark, cores: int, n_turns: int) -> dict:
+    """One timed job with the steal fraction of its own window measured
+    on the leg's taskset CPU set."""
+    b0, i0, s0 = _cpu_ticks(cores)
+    sec, _n = _run_er_job(spark, n_turns)
+    b1, i1, s1 = _cpu_ticks(cores)
+    total = (b1 - b0) + (i1 - i0) + (s1 - s0)
+    steal_frac = (s1 - s0) / total if total > 0 else 0.0
+    return {"turns": n_turns, "sec": round(sec, 2), "steal": round(steal_frac, 3)}
+
+
 def _leg_main(cores: int) -> None:
     """Subprocess entry: one taskset-bound scaling leg → one JSON line
-    with LEG_SAMPLES timed samples.
+    with LEG_SAMPLES (small, big) sample pairs, each with its window's
+    measured steal fraction.
 
     A tiny warmup run precedes the timed runs: the first pipeline
     execution pays ~25-30 s of size-independent JVM work (whole-stage
     codegen compilation, Python worker spawn, parquet/committer init)
     that a long-lived cluster pays once at startup, not per job — timing
-    it would measure JIT latency, not data scaling. The repeated timed
-    runs inside one JVM each span their own multi-minute noise window."""
+    it would measure JIT latency, not data scaling. Small and big runs
+    of a pair are back-to-back in the same JVM so the marginal
+    throughput derived from them compares adjacent noise windows."""
     spark = _session(cores)
     try:
         _run_er_job(spark, 5_000)
-        secs = []
+        samples = []
         for _ in range(LEG_SAMPLES):
-            sec, _n_entities = _run_er_job(spark, SCALING_TURNS)
-            secs.append(sec)
+            samples.append(_timed_er(spark, cores, SCALING_TURNS_SMALL))
+            samples.append(_timed_er(spark, cores, SCALING_TURNS))
     finally:
         spark.stop()
-    print(json.dumps({"secs": secs}))
+    print(json.dumps({"samples": samples}))
 
 
 def _bw_main(workers: int) -> None:
@@ -201,9 +252,9 @@ def _bw_subprocess(cores: int) -> float:
     return json.loads(out[-1])["gbps"]
 
 
-def _run_leg_subprocess(cores: int) -> list[float]:
-    """Run one leg bound to ``cores`` vCPUs; returns LEG_SAMPLES
-    turns/sec samples."""
+def _run_leg_subprocess(cores: int) -> list[dict]:
+    """Run one leg bound to ``cores`` vCPUs; returns the leg's raw
+    sample dicts ({turns, sec, steal})."""
     import shutil
     import subprocess
 
@@ -214,61 +265,95 @@ def _run_leg_subprocess(cores: int) -> list[float]:
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True
     ).stdout.strip().splitlines()
-    secs = json.loads(out[-1])["secs"]
-    return [SCALING_TURNS / s for s in secs]
+    return json.loads(out[-1])["samples"]
+
+
+def _steal_corrected_sec(s: dict) -> float:
+    """Quiet-window wall time implied by a sample: t_corr = t×(1−steal).
+
+    ``steal`` is the fraction of the window's CPU-capacity jiffies on the
+    leg's taskset CPU set that the hypervisor withheld while the vCPU was
+    runnable (/proc/stat field 8) — time a co-tenant ran, not this job.
+    Idle vCPUs accrue no steal, so genuinely serial phases (driver-only
+    work leaving worker CPUs idle) dilute rather than inflate the
+    correction: the correction can only *under*-correct Amdahl effects,
+    never hide them. Co-tenant DRAM/cache contention is NOT corrected, so
+    corrected samples remain lower bounds on quiet-window capacity and
+    min-over-samples stays the right estimator."""
+    return s["sec"] * (1.0 - min(s["steal"], 0.95))
+
+
+def _leg_capacity(samples: list[dict]) -> dict:
+    """Per-leg capacity estimates from (small, big) sample pairs."""
+    small = [s for s in samples if s["turns"] == SCALING_TURNS_SMALL]
+    big = [s for s in samples if s["turns"] == SCALING_TURNS]
+    t_small_raw = min(s["sec"] for s in small)
+    t_big_raw = min(s["sec"] for s in big)
+    t_small_corr = min(_steal_corrected_sec(s) for s in small)
+    t_big_corr = min(_steal_corrected_sec(s) for s in big)
+    delta = SCALING_TURNS - SCALING_TURNS_SMALL
+    out = {
+        "tput_raw": SCALING_TURNS / t_big_raw,
+        "tput_corr": SCALING_TURNS / t_big_corr,
+        "t_small_corr": t_small_corr,
+        "t_big_corr": t_big_corr,
+        "marginal_raw": None,
+        "marginal_corr": None,
+    }
+    # marginal throughput = per-turn slope between the two sizes; only
+    # meaningful when the big run is clearly longer than the small one
+    # (guards against a cross-window artifact making the denominator
+    # collapse and the slope explode)
+    if t_big_raw - t_small_raw > 0.1 * t_big_raw:
+        out["marginal_raw"] = delta / (t_big_raw - t_small_raw)
+    if t_big_corr - t_small_corr > 0.1 * t_big_corr:
+        out["marginal_corr"] = delta / (t_big_corr - t_small_corr)
+    return out
 
 
 def _measure_scaling() -> dict:
-    """Interleaved legs (see module docstring): best-per-leg over rounds of
-    (N, 4N).
+    """Interleaved legs (see module docstring): rounds of (N, 4N), each
+    leg a taskset-bound subprocess emitting (small, big) timed pairs with
+    per-window steal fractions.
 
-    Protocol guards against selection bias (round-1 review findings): a
-    fixed minimum of SCALING_MIN_ROUNDS rounds always runs; once the target
-    efficiency is evidenced ONE extra confirmation round still runs (so the
-    early-stop cannot select its own stopping round); all ratios are
-    reported unclamped alongside the clamped headline numbers; and the
-    memory-bandwidth probes bracket the legs (one probe per side before
-    each round's legs plus a final probe per side after the last round)."""
+    Three efficiency estimators, least to most faithful to the
+    10^12-turn north target, all reported raw (unclamped) and clamped:
+
+      * efficiency_raw        — best big-size sample quotient. Includes
+        sandbox per-job fixed cost (Amdahl) and host noise.
+      * efficiency_corrected  — same quotient on steal-corrected samples
+        (hypervisor contention removed; Amdahl still included).
+      * efficiency_marginal   — quotient of per-turn marginal throughputs
+        (fixed per-job cost subtracted exactly; the slope is what
+        predicts throughput at sizes where fixed cost amortizes away).
+        The headline ``efficiency`` is the steal-corrected marginal.
+
+    Anti-selection-bias guards (round-1 review findings): a fixed minimum
+    of SCALING_MIN_ROUNDS rounds always runs; once the target efficiency
+    is evidenced ONE extra confirmation round still runs (so the stop
+    rule cannot select its own stopping round); all ratios are reported
+    unclamped alongside the clamped headline numbers; bandwidth probes
+    bracket the legs (before each round + after the last); a wall-clock
+    budget (SPARK_GRAFT_SCALING_BUDGET) bounds the whole block."""
     n_cores, n4_cores = SCALING_BASE, SCALING_BASE * 4
     # infrastructure control: the DRAM bus this single box offers N vs 4N
     # cores (a multi-executor cluster has per-node memory and does not see
-    # this ceiling). Individual probes get crushed by co-tenant load
-    # exactly like the pipeline legs, and a ratio of two different noise
-    # windows is meaningless — so each side's capacity is the max over
-    # samples (noise only lowers throughput).
-    #
-    # Per-leg ADAPTIVE sampling with a symmetric stability rule: a leg
-    # keeps sampling until its running max has not improved by >1% over
-    # its last STABLE_WINDOW samples (then it is "converged" and stops
-    # consuming rounds). The rule is identical for both legs, but the
-    # wide leg typically needs more draws: a K-vCPU leg only hits its
-    # capacity in a window where all K vCPUs are quiet simultaneously,
-    # and that probability falls with K — observed as bimodal 4N samples
-    # while the N samples cluster tightly. Measured maxima are therefore
-    # LOWER BOUNDS on both legs' true capacity, tightest for the leg
-    # that sampled to stability.
-    STABLE_WINDOW = 6
+    # this ceiling).
     bw_samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
-    samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
+    samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
 
-    def _converged(vals: list[float]) -> bool:
-        if len(vals) < SCALING_MIN_ROUNDS * LEG_SAMPLES or len(vals) <= STABLE_WINDOW:
-            return False
-        return max(vals) <= 1.01 * max(vals[:-STABLE_WINDOW])
-
+    t_start = time.monotonic()
     rounds_run = 0
     confirm_rounds_left = None  # becomes 1 when the target is first hit
     for _ in range(SCALING_ROUNDS):
+        if rounds_run >= SCALING_MIN_ROUNDS and (
+            time.monotonic() - t_start > SCALING_BUDGET
+        ):
+            break
         rounds_run += 1
-        progressed = False
         for cores in (n_cores, n4_cores):
-            if _converged(samples[cores]) and rounds_run > SCALING_MIN_ROUNDS:
-                continue
-            progressed = True
             bw_samples[cores].append(_bw_subprocess(cores))
-            samples[cores].extend(
-                round(t, 1) for t in _run_leg_subprocess(cores)
-            )
+            samples[cores].extend(_run_leg_subprocess(cores))
         if confirm_rounds_left is not None:
             confirm_rounds_left -= 1
             if confirm_rounds_left <= 0:
@@ -276,16 +361,23 @@ def _measure_scaling() -> dict:
             continue
         if rounds_run < SCALING_MIN_ROUNDS:
             continue
-        if not progressed:
-            break
-        speedup = max(samples[n4_cores]) / max(samples[n_cores])
+        cap_n = _leg_capacity(samples[n_cores])
+        cap_4n = _leg_capacity(samples[n4_cores])
         bw_ratio = max(bw_samples[n4_cores]) / max(bw_samples[n_cores])
-        # target evidenced either raw or bandwidth-normalized → schedule
-        # ONE more confirmation round and then stop (its samples are
-        # included in the reported stats either way)
-        if speedup / 4.0 >= SCALING_TARGET_EFF or (
-            bw_ratio > 1.0 and speedup / bw_ratio >= SCALING_TARGET_EFF
-        ):
+        evidenced = cap_4n["tput_raw"] / cap_n["tput_raw"] / 4.0 >= SCALING_TARGET_EFF
+        if cap_n["marginal_corr"] and cap_4n["marginal_corr"]:
+            evidenced = evidenced or (
+                cap_4n["marginal_corr"] / cap_n["marginal_corr"] / 4.0
+                >= SCALING_TARGET_EFF
+            )
+        if bw_ratio > 1.0:
+            evidenced = evidenced or (
+                cap_4n["tput_raw"] / cap_n["tput_raw"] / bw_ratio
+                >= SCALING_TARGET_EFF
+            )
+        if evidenced:
+            # schedule ONE more confirmation round and then stop (its
+            # samples are included in the reported stats either way)
             confirm_rounds_left = 1
     # final bracket: one more bandwidth probe per side AFTER the legs
     for cores in (n_cores, n4_cores):
@@ -297,32 +389,53 @@ def _measure_scaling() -> dict:
     # just means the 4N probe never saw a quiet window — clamped value is
     # the headline, raw value is reported beside it
     bw_speedup = max(bw_speedup_raw, 1.0)
-    speedup = max(samples[n4_cores]) / max(samples[n_cores])
-    # time-adjacent sample pairs (same index = same interleave slot)
-    paired = [
-        round((b / a), 3) for a, b in zip(samples[n_cores], samples[n4_cores])
-    ]
+
+    cap_n = _leg_capacity(samples[n_cores])
+    cap_4n = _leg_capacity(samples[n4_cores])
+    speedup_raw = cap_4n["tput_raw"] / cap_n["tput_raw"]
+    speedup_corr = cap_4n["tput_corr"] / cap_n["tput_corr"]
+    marginal_ok = bool(cap_n["marginal_corr"] and cap_4n["marginal_corr"])
+    speedup_marginal = (
+        cap_4n["marginal_corr"] / cap_n["marginal_corr"] if marginal_ok else None
+    )
+    headline = speedup_marginal if marginal_ok else speedup_corr
+
+    def _r(x, nd=3):
+        return round(x, nd) if x is not None else None
+
     return {
         "cores_n": n_cores,
         "cores_4n": n4_cores,
         "n_turns": SCALING_TURNS,
+        "n_turns_small": SCALING_TURNS_SMALL,
         "rounds": rounds_run,
         "samples_n": samples[n_cores],
         "samples_4n": samples[n4_cores],
         "bw_samples_n": [round(x, 1) for x in bw_samples[n_cores]],
         "bw_samples_4n": [round(x, 1) for x in bw_samples[n4_cores]],
-        "paired_round_speedups": paired,
-        "turns_per_sec_n": round(max(samples[n_cores]), 1),
-        "turns_per_sec_4n": round(max(samples[n4_cores]), 1),
-        "speedup_raw": round(speedup, 3),
-        "efficiency_raw": round(speedup / 4.0, 3),
-        "efficiency": round(min(speedup / 4.0, 1.0), 3),
+        "turns_per_sec_n": _r(cap_n["tput_raw"], 1),
+        "turns_per_sec_4n": _r(cap_4n["tput_raw"], 1),
+        "turns_per_sec_n_corrected": _r(cap_n["tput_corr"], 1),
+        "turns_per_sec_4n_corrected": _r(cap_4n["tput_corr"], 1),
+        "marginal_tput_n": _r(cap_n["marginal_corr"], 1),
+        "marginal_tput_4n": _r(cap_4n["marginal_corr"], 1),
+        "marginal_tput_n_raw": _r(cap_n["marginal_raw"], 1),
+        "marginal_tput_4n_raw": _r(cap_4n["marginal_raw"], 1),
+        "speedup_raw": _r(speedup_raw),
+        "efficiency_raw": _r(speedup_raw / 4.0),
+        "speedup_corrected": _r(speedup_corr),
+        "efficiency_corrected": _r(speedup_corr / 4.0),
+        "speedup_marginal": _r(speedup_marginal),
+        "efficiency_marginal": _r(
+            speedup_marginal / 4.0 if marginal_ok else None
+        ),
+        "efficiency": _r(min(headline / 4.0, 1.0)),
         "mem_bw_gbps_n": round(bw_n, 1),
         "mem_bw_gbps_4n": round(bw_4n, 1),
         "mem_bw_speedup_raw": round(bw_speedup_raw, 2),
         "mem_bw_speedup": round(bw_speedup, 2),
-        "efficiency_vs_bandwidth_raw": round(speedup / bw_speedup, 3),
-        "efficiency_vs_bandwidth": round(min(speedup / bw_speedup, 1.0), 3),
+        "efficiency_vs_bandwidth_raw": _r(speedup_raw / bw_speedup),
+        "efficiency_vs_bandwidth": _r(min(speedup_raw / bw_speedup, 1.0)),
     }
 
 

@@ -133,9 +133,20 @@ def minhash_band_keys(
     """
     assert n_hashes % bands == 0
     rows = n_hashes // bands
+
+    def _hash_k(k: int):
+        # NB: a one-arg lambda is required. PySpark binds a TWO-arg lambda
+        # as (element, index) — the once-used `lambda s, k=k:` closure idiom
+        # silently bound k to the array-index column, collapsing all
+        # n_hashes "hash functions" into xxhash64(s, position): every band
+        # row was identical and LSH recall degenerated from 1-(1-j^r)^b to
+        # j (one effective hash). Caught by the minhash_near_dups DuckDB
+        # oracle (a J=0.989 pair missed its bucket, p~1e-11 if banding
+        # worked).
+        return lambda s: F.xxhash64(s, F.lit(k))
+
     mins = [
-        F.array_min(F.transform(shingles, lambda s, k=k: F.xxhash64(s, F.lit(k))))
-        for k in range(n_hashes)
+        F.array_min(F.transform(shingles, _hash_k(k))) for k in range(n_hashes)
     ]
     keys = []
     for b in range(bands):

@@ -152,6 +152,117 @@ def matched_edges(scored: DataFrame) -> DataFrame:
     )
 
 
+def lev_scored_pairs(
+    vertices: DataFrame,
+    threshold: float = 0.6,
+    norm_col: str = "norm",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """Blocked candidate self-join scored with batched Levenshtein
+    similarity — the north rule's "normalized Levenshtein" scale-path
+    scorer as a standalone, fully oracle-checkable surface.
+
+    Blocking key = (entity type, first token of the normalized surface)
+    — the classic prefix block; candidates within a block are scored with
+    the Arrow-batched Wagner-Fischer kernel
+    (:func:`simtext.levenshtein_batch`, one vectorized DP per batch, no
+    per-row Python) and kept at ``lev_sim ≥ threshold``. Output:
+    (entity_type, norm_a, norm_b, lev_sim), norm_a < norm_b.
+
+    Scale shape: one shuffle on the block key; the self-join carries only
+    (type, block, norm); oversized blocks are bounded upstream by the
+    distinct-surface cardinality (surfaces ≪ mentions)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _lev_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        return pd.Series(
+            simtext.levenshtein_sim_batch(
+                a.fillna("").to_numpy(dtype=object),
+                b.fillna("").to_numpy(dtype=object),
+            )
+        )
+
+    pairs = _blocked_norm_pairs(vertices, norm_col, type_col)
+    return pairs.select(
+        "entity_type",
+        "norm_a",
+        "norm_b",
+        F.round(_lev_sim(F.col("norm_a"), F.col("norm_b")), 6).alias("lev_sim"),
+    ).filter(F.col("lev_sim") >= F.lit(threshold))
+
+
+def _blocked_norm_pairs(
+    vertices: DataFrame, norm_col: str = "norm", type_col: str = "entity_type"
+) -> DataFrame:
+    """Distinct normalized surfaces → prefix-blocked candidate pairs
+    (entity_type, norm_a < norm_b). One shuffle on (type, first token)."""
+    base = (
+        vertices.select(
+            F.col(type_col).alias("entity_type"), F.col(norm_col).alias("norm")
+        )
+        .filter(F.col("norm") != "")
+        .distinct()
+        .withColumn("bk", F.split(F.col("norm"), " ")[0])
+    )
+    a = base.select("entity_type", "bk", F.col("norm").alias("norm_a"))
+    b = base.select("entity_type", "bk", F.col("norm").alias("norm_b"))
+    return (
+        a.join(b, ["entity_type", "bk"])
+        .filter(F.col("norm_a") < F.col("norm_b"))
+        .drop("bk")
+    )
+
+
+def scale_scored_pairs(
+    vertices: DataFrame,
+    lev_threshold: float = 0.6,
+    jw_threshold: float = 0.75,
+    norm_col: str = "norm",
+    type_col: str = "entity_type",
+) -> DataFrame:
+    """The north rule's full scale-path scorer surface: prefix-blocked
+    candidate pairs scored with BOTH batched normalized Levenshtein and
+    batched Jaro-Winkler (Arrow kernels, no per-row Python); a pair
+    survives if either scorer clears its threshold. Output:
+    (entity_type, norm_a, norm_b, lev_sim, jaro_winkler)."""
+
+    @F.pandas_udf(_PAIR_SCORES_SCHEMA)
+    def _scores(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        na = a.fillna("").to_numpy(dtype=object)
+        nb = b.fillna("").to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "lev_sim": simtext.levenshtein_sim_batch(na, nb),
+                "jaro_winkler": simtext.jaro_winkler_batch(na, nb),
+            }
+        )
+
+    pairs = _blocked_norm_pairs(vertices, norm_col, type_col)
+    scored = pairs.withColumn(
+        "_s", _scores(F.col("norm_a"), F.col("norm_b"))
+    ).select(
+        "entity_type",
+        "norm_a",
+        "norm_b",
+        F.round(F.col("_s.lev_sim"), 6).alias("lev_sim"),
+        F.round(F.col("_s.jaro_winkler"), 6).alias("jaro_winkler"),
+    )
+    return scored.filter(
+        (F.col("lev_sim") >= F.lit(lev_threshold))
+        | (F.col("jaro_winkler") >= F.lit(jw_threshold))
+    )
+
+
+_PAIR_SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("lev_sim", T.DoubleType()),
+        T.StructField("jaro_winkler", T.DoubleType()),
+    ]
+)
+
+
 def score_embedding_pairs(
     pairs: DataFrame,
     name_embeddings: DataFrame,
