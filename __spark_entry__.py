@@ -266,10 +266,23 @@ def q_fuzzy_sort_keys(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-dedup cache groups keyed by an md5 content fingerprint.
+
+    Mirrors the reference's exact dedup caches (url/title/md5 --
+    src/database/s3_storage.py, SURVEY 2.7).  The corpus has no
+    full-text exact duplicates (a full-text md5 group-by returns 0 rows,
+    which is vacuous evidence), so the cache key is the title-like
+    fingerprint: md5 of the first 80 lowercased characters -- the same
+    shape as the reference's title-dedup cache, and non-empty at every
+    SF (19/22/216 groups at sf0.001/0.01/0.1).
+    """
     _prep(spark)
     d = _t(spark, sf, "documents")
     return (
-        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        d.select(
+            F.md5(F.lower(F.substring("text", 1, 80))).alias("content_hash"),
+            "doc_id",
+        )
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1528,9 +1541,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "exact_dup_groups": """
-            SELECT md5(text) AS content_hash, count(*) AS n_docs,
+            SELECT md5(lower(substr(text, 1, 80))) AS content_hash,
+                   count(*) AS n_docs,
                    array_to_string(list_sort(list(doc_id::varchar)), ',') AS doc_ids
-            FROM documents GROUP BY md5(text) HAVING count(*) > 1
+            FROM documents
+            GROUP BY md5(lower(substr(text, 1, 80))) HAVING count(*) > 1
         """,
         "token_stats": """
             SELECT doc_id,

@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "fingerprint_md5",
     "assemble_roundtrip",
     "mention_extraction",
+    "er_scale_scored_pairs",
     "pattern_entities",
     "doc_embeddings",
     "text_srp_near_dups",
