@@ -704,7 +704,13 @@ def q_text_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     dense = assemble_dense(
         hashed_tfidf_features(_t(spark, sf, "documents"), dim=64), dim=64
     )
-    return srp_lsh_near_dups(dense, "doc", "embedding", threshold=0.9)
+    # 8-bit bands: text vectors are heavily clustered (template siblings),
+    # so 4-bit bands degenerate to ~16 giant buckets; 64 planes / 8 bands
+    # measures 96.7% recall vs exact ≥0.9 pairs at sf0.1 (28182/29134)
+    # at ~8× less verify work
+    return srp_lsh_near_dups(
+        dense, "doc", "embedding", threshold=0.9, n_planes=64, bands=8
+    )
 
 
 def q_text_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
