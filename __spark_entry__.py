@@ -593,6 +593,124 @@ def q_doc_claims(spark: SparkSession, sf: str) -> DataFrame:
     return extract_claims(planted)
 
 
+# Evidence-search corpus: 5 planted claim templates, 2 of which carry
+# ≥2 contradiction-signal words (evidence.py:40-56) so the derived
+# relations/stances span supports/contradicts → supportive/critical.
+# Words chosen mostly outside the synthetic doc vocabulary; "query" /
+# "stream" overlap it on purpose (partial-match sims, filtered at 0.2).
+_EVIDENCE_TEMPLATES = [
+    "the pipeline improves throughput under heavy load",
+    "the results are wrong and misleading in every benchmark",
+    "the cache layer reduces latency for repeated query traffic",
+    "the claim is false because the numbers never align",
+    "the planner yields better plans than the old stream engine",
+]
+
+
+def _evidence_frames(spark: SparkSession, sf: str):
+    """(claims, sentences, base) for the argument-mining evidence queries:
+    every doc gets a planted template sentence; docs with doc_id%17==0
+    also act as claims (their template text, confidence varying 0.3-0.9
+    so every classify_stance branch is reachable)."""
+    d = _t(spark, sf, "documents")
+    h5 = F.pmod(F.col("doc_id") * 2654435761 + 17, F.lit(2**31)) % 5
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in _EVIDENCE_TEMPLATES]), (h5 + 1).cast("int")
+    )
+    base = d.select("doc_id", "text", "source", "lang", tmpl.alias("tmpl"))
+    claims = base.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("doc"),
+        F.lit(0).alias("sent_idx"),
+        F.col("tmpl").alias("claim_text"),
+        (F.lit(0.3) + (F.col("doc_id") % 5).cast("double") * 0.15).alias(
+            "confidence"
+        ),
+    )
+    sentences = base.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("sent_idx"),
+                    F.concat("text", F.lit(".")).alias("sentence"),
+                ),
+                F.struct(F.lit(1).alias("sent_idx"), F.col("tmpl").alias("sentence")),
+            )
+        ).alias("s"),
+    ).select("doc", "s.sent_idx", "s.sentence")
+    return claims, sentences, base
+
+
+def q_claim_evidence(spark: SparkSession, sf: str) -> DataFrame:
+    # evidence.py:162-215 — TF-IDF cosine evidence search with
+    # supports/contradicts classification (corpus-level fit; max_df 0.3
+    # prunes the synthetic corpus' stop-vocab, mirrored in the oracle).
+    # max_evidence=2000 so the top-k cap never binds here (cap semantics
+    # are pytest-covered; keeping it non-binding removes cross-engine
+    # float-rank boundary risk from the oracle compare).
+    _prep(spark)
+    from neuronews_spark.operators.evidence import find_evidence
+
+    claims, sentences, _ = _evidence_frames(spark, sf)
+    return find_evidence(
+        claims, sentences, threshold=0.2, max_evidence=2000, max_df_frac=0.3
+    )
+
+
+def q_stance_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    # argument_routes.py:54-63,688-744 + stance_aggregator.py:58-96 —
+    # per-claim 4-class stance from evidence counts, rolled up per
+    # (source, topic)
+    _prep(spark)
+    from neuronews_spark.operators.evidence import (
+        claim_stances,
+        find_evidence,
+        stance_by_source,
+    )
+
+    claims, sentences, base = _evidence_frames(spark, sf)
+    ev = find_evidence(
+        claims, sentences, threshold=0.2, max_evidence=2000, max_df_frac=0.3
+    )
+    stanced = claim_stances(claims, ev)
+    docs = base.select("doc_id", "source", F.col("lang").alias("topic"))
+    return stance_by_source(stanced, docs)
+
+
+def q_stance_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # drift_detector.py:29-100 — dominant-stance pivots between
+    # deterministic weekly windows (window = doc_id bucket; the testdata
+    # has no timestamps on documents)
+    _prep(spark)
+    from neuronews_spark.operators.evidence import (
+        claim_stances,
+        find_evidence,
+        stance_drift,
+    )
+
+    claims, sentences, base = _evidence_frames(spark, sf)
+    ev = find_evidence(
+        claims, sentences, threshold=0.2, max_evidence=2000, max_df_frac=0.3
+    )
+    stanced = claim_stances(claims, ev).join(
+        base.select(
+            F.col("doc_id").alias("doc"), "source", F.lit("general").alias("topic")
+        ),
+        "doc",
+    )
+    win = F.element_at(
+        F.array(F.lit("2024-01-01"), F.lit("2024-01-08"), F.lit("2024-01-15")),
+        (F.floor((F.col("doc") % 21) / 7) + 1).cast("int"),
+    )
+    windows = stanced.groupBy(
+        "source", "topic", win.alias("window_start"), "stance"
+    ).agg(
+        F.count(F.lit(1)).alias("document_count"),
+        F.avg("confidence").alias("confidence"),
+    )
+    return stance_drift(windows)
+
+
 def q_top_influencers(spark: SparkSession, sf: str) -> DataFrame:
     # influence_network_analyzer.py:55-60 — top-N nodes by PageRank
     _prep(spark)
@@ -962,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
         "doc_claims": q_doc_claims,
+        "claim_evidence": q_claim_evidence,
+        "stance_by_source": q_stance_by_source,
+        "stance_drift": q_stance_drift,
         "media_timestamps": q_media_timestamps,
         "timeline_linkage": q_timeline_linkage,
         "top_influencers": q_top_influencers,
@@ -1310,6 +1431,102 @@ _EDGE_EVENTS_CTE = """
 """
 
 
+def _evidence_ctes() -> str:
+    """Shared oracle prefix for the evidence/stance queries: planted
+    templates → corpus-level sublinear TF-IDF (max_df 0.3) → sparse
+    cosine pairs → per-doc best evidence with supports/contradicts, then
+    per-claim stance (argument_routes.py:54-63). Mirrors
+    neuronews_spark/operators/evidence.py exactly."""
+    tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _EVIDENCE_TEMPLATES)
+    from neuronews_spark.operators.evidence import CONTRADICTION_SIGNALS
+
+    sigs = ", ".join("'" + s.replace("'", "''") + "'" for s in CONTRADICTION_SIGNALS)
+    return f"""
+        WITH base AS MATERIALIZED (
+          SELECT doc_id, text, source, lang,
+                 ([{tmpl}])[((doc_id * 2654435761 + 17) % 2147483648 % 5)::int + 1]
+                   AS tmpl
+          FROM documents),
+        claims AS (
+          SELECT doc_id AS doc, tmpl AS txt,
+                 0.3 + (doc_id % 5) * 0.15 AS confidence
+          FROM base WHERE doc_id % 7 = 0),
+        sents AS (
+          SELECT doc_id AS doc, 0 AS sent_idx, text || '.' AS txt FROM base
+          UNION ALL SELECT doc_id, 1, tmpl FROM base),
+        texts AS MATERIALIZED (
+          SELECT 'c#' || doc || '#0' AS text_id, txt FROM claims
+          UNION ALL
+          SELECT 's#' || doc || '#' || sent_idx, txt FROM sents),
+        toks AS (
+          SELECT text_id,
+                 regexp_extract_all(lower(txt), '[a-z0-9_]{{2,}}') AS uni
+          FROM texts),
+        tl AS (
+          SELECT text_id,
+                 list_concat(uni, list_transform(range(1, len(uni)),
+                   i -> uni[i::int] || ' ' || uni[i::int + 1])) AS terms
+          FROM toks),
+        tf AS MATERIALIZED (
+          SELECT text_id, term, count(*)::double AS cnt
+          FROM (SELECT text_id, unnest(terms) AS term FROM tl)
+          GROUP BY 1, 2),
+        nn AS (SELECT count(*)::double AS n FROM texts),
+        dfx AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+        keep AS (SELECT term, df FROM dfx, nn WHERE df <= 0.3 * nn.n),
+        w AS (
+          SELECT text_id, tf.term,
+                 (1.0 + ln(cnt)) * (ln((1.0 + nn.n) / (1.0 + df)) + 1.0) AS w
+          FROM tf JOIN keep USING (term), nn),
+        nrm AS (SELECT text_id, sqrt(sum(w * w)) AS l2 FROM w GROUP BY 1),
+        wn AS MATERIALIZED (
+          SELECT w.text_id, term, w.w / nrm.l2 AS weight
+          FROM w JOIN nrm USING (text_id)),
+        cw AS (
+          SELECT c.doc AS c_doc, wn.term, wn.weight
+          FROM wn JOIN claims c ON wn.text_id = 'c#' || c.doc || '#0'),
+        sw AS (
+          SELECT s.doc AS s_doc, s.sent_idx AS s_idx, wn.term, wn.weight
+          FROM wn JOIN sents s
+            ON wn.text_id = 's#' || s.doc || '#' || s.sent_idx),
+        prs AS (
+          SELECT c_doc, s_doc, s_idx, sum(cw.weight * sw.weight) AS sim
+          FROM cw JOIN sw USING (term)
+          WHERE cw.c_doc <> sw.s_doc
+          GROUP BY 1, 2, 3
+          HAVING sum(cw.weight * sw.weight) >= 0.2),
+        bst AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY c_doc, s_doc ORDER BY sim DESC, s_idx) AS rn_doc
+          FROM prs),
+        ev AS MATERIALIZED (
+          SELECT b.c_doc, b.s_doc, b.s_idx, round(b.sim, 6) AS sim,
+                 CASE WHEN len(list_intersect(
+                        list_distinct(regexp_extract_all(lower(s.txt),
+                                                         '[a-z0-9_]+')),
+                        [{sigs}])) >= 2
+                      THEN 'contradicts' ELSE 'supports' END AS relation,
+                 row_number() OVER (
+                   PARTITION BY b.c_doc ORDER BY b.sim DESC, b.s_doc, b.s_idx
+                 ) AS rn
+          FROM bst b JOIN sents s ON s.doc = b.s_doc AND s.sent_idx = b.s_idx
+          WHERE b.rn_doc = 1),
+        sup_con AS (
+          SELECT c_doc AS doc,
+                 sum(CASE WHEN relation = 'supports' THEN 1 ELSE 0 END) AS sup,
+                 sum(CASE WHEN relation = 'contradicts' THEN 1 ELSE 0 END) AS con
+          FROM ev WHERE rn <= 2000 GROUP BY 1),
+        stanced AS (
+          SELECT c.doc, c.confidence,
+                 CASE WHEN c.confidence < 0.4 THEN 'ambiguous'
+                      WHEN coalesce(sc.con, 0) > coalesce(sc.sup, 0)
+                           AND coalesce(sc.con, 0) > 0 THEN 'critical'
+                      WHEN coalesce(sc.sup, 0) > 0 THEN 'supportive'
+                      ELSE 'neutral' END AS stance
+          FROM claims c LEFT JOIN sup_con sc USING (doc))
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
     neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
@@ -1394,6 +1611,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE lev_sim >= 0.6 OR jaro_winkler >= 0.75
         """,
         "doc_claims": _doc_claims_sql(),
+        "claim_evidence": _evidence_ctes()
+        + """
+            SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,
+                   s_idx AS ev_idx, sim, relation
+            FROM ev WHERE rn <= 2000
+        """,
+        "stance_by_source": _evidence_ctes()
+        + """
+            SELECT b.source, b.lang AS topic,
+                   sum(CASE WHEN stance = 'supportive' THEN 1 ELSE 0 END)::bigint
+                     AS supportive,
+                   sum(CASE WHEN stance = 'critical' THEN 1 ELSE 0 END)::bigint
+                     AS critical,
+                   sum(CASE WHEN stance = 'neutral' THEN 1 ELSE 0 END)::bigint
+                     AS neutral,
+                   sum(CASE WHEN stance = 'ambiguous' THEN 1 ELSE 0 END)::bigint
+                     AS ambiguous,
+                   count(*)::bigint AS total,
+                   round(avg(st.confidence), 6) AS confidence
+            FROM stanced st JOIN base b ON b.doc_id = st.doc
+            GROUP BY 1, 2
+        """,
+        "stance_drift": _evidence_ctes()
+        + """
+            , wins AS (
+              SELECT b.source, 'general' AS topic,
+                     (['2024-01-01', '2024-01-08', '2024-01-15'])[
+                       ((st.doc % 21) // 7)::int + 1] AS window_start,
+                     st.stance, count(*) AS document_count,
+                     avg(st.confidence) AS confidence
+              FROM stanced st JOIN base b ON b.doc_id = st.doc
+              GROUP BY 1, 2, 3, 4),
+            dom AS (
+              SELECT source, topic, window_start, stance,
+                     row_number() OVER (
+                       PARTITION BY source, topic, window_start
+                       ORDER BY document_count DESC,
+                         list_position(['supportive', 'critical', 'neutral',
+                                        'ambiguous'], stance)) AS rn,
+                     sum(confidence * document_count) OVER
+                       (PARTITION BY source, topic, window_start)
+                       / greatest(sum(document_count) OVER
+                           (PARTITION BY source, topic, window_start), 1)
+                       AS avg_conf
+              FROM wins),
+            per AS (
+              SELECT source, topic, window_start, stance AS dominant, avg_conf
+              FROM dom WHERE rn = 1),
+            lagd AS (
+              SELECT source, topic,
+                     lag(window_start) OVER w AS from_window,
+                     window_start AS to_window,
+                     lag(dominant) OVER w AS from_stance,
+                     dominant AS to_stance,
+                     round(abs(avg_conf - lag(avg_conf) OVER w), 6)
+                       AS confidence_delta
+              FROM per
+              WINDOW w AS (PARTITION BY source, topic ORDER BY window_start))
+            SELECT * FROM lagd
+            WHERE from_window IS NOT NULL
+              AND (from_stance <> to_stance OR confidence_delta > 0.2)
+        """,
         "media_timestamps": """
             WITH s AS (
               SELECT event_id,
