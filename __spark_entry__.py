@@ -1048,6 +1048,241 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return decode_features(media).select("media_id", "modality", "n_bytes")
 
 
+# Attribution corpus: 10 planted claim templates covering every rule
+# branch of the content-type-aware attribution classifier
+# (attribution.py:39-142): according-to / APA / speaker-label /
+# first-person / opinion-short-circuit / said / rejected-opener /
+# officials / per / numeric-citation.  source_type cycles through the 7
+# document_model.py:24 enum values; (doc_id%7, doc_id%10) covers all 70
+# combinations at sf0.01.
+_ATTRIBUTION_TEMPLATES = [
+    "according to Jane Doe, the metric improved",
+    "results hold (Smith, 2023) in recent trials",
+    "Alice Smith: the cache layer is stable",
+    "I found the index regressed badly",
+    "clearly, according to Bob Lee, the answer is known",
+    "Dr Lee said the rollout was delayed",
+    "the team said it shipped early",
+    "officials say the fix works",
+    "latency dropped per vendor filings, on review",
+    "as shown in [12, 13] the loss fell",
+]
+_SOURCE_TYPES = ["news", "paper", "transcript", "blog", "note", "web", "book"]
+
+
+def _attribution_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    st = F.element_at(
+        F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    tm = F.element_at(
+        F.array(*[F.lit(t) for t in _ATTRIBUTION_TEMPLATES]),
+        (F.col("doc_id") % 10 + 1).cast("int"),
+    )
+    return _t(spark, sf, "documents").select(
+        "doc_id", "source", st.alias("source_type"), tm.alias("claim_text")
+    )
+
+
+# Position corpus: 10 planted sentences covering all 7 actor patterns,
+# the author/source_id fallback, the question exclusion, the hedged
+# non-claim exclusion, and 5 distinct topics (positions.py:41-140)
+_POSITION_TEMPLATES = [
+    "ANNA REY: the ministry will adopt the carbon tax rule",
+    "Jane Doe: we plan to expand the solar program",
+    "President Novak pledged to cut the deficit by 2025",
+    "Maria Vega, the finance minister, announced a new wage subsidy",
+    "Omar Hart vowed to veto the housing bill",
+    "The board committed to review the data privacy policy",
+    "The government will raise the defence budget",
+    "Could the committee perhaps review the vaccine rollout?",
+    "They might consider new rules someday",
+    "Results improved after the court ruled on the appeal",
+]
+
+
+# Follow-through article corpus: \n\n-separated segments (no [.!?] so
+# the DuckDB mirror's lookbehind-free split agrees), one actor + topic
+# keywords per template; covers reversal / reaffirm / update signals,
+# the no_signal fallback (a4: actor present, zero signals), and the
+# <20-char sentence drop (a5's second segment).
+_FOLLOWTHROUGH_ARTICLES = [
+    "Novak reversed the deficit pledge this week\n\n"
+    "markets watched the budget closely",
+    "Jane Doe reaffirmed the solar program commitment\n\n"
+    "the energy plan continues",
+    "the board adjusted the data privacy policy rollout\n\n"
+    "analysts expect more changes",
+    "Maria Vega stood by the wage subsidy announcement\n\n"
+    "unions welcomed the move",
+    "parliament debated the carbon tax rule\n\nANNA REY attended the session",
+    "Omar Hart walked back the housing veto threat\n\nthe bill vote nears",
+]
+
+
+def _position_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    tm = F.element_at(
+        F.array(*[F.lit(t) for t in _POSITION_TEMPLATES]),
+        (F.col("doc_id") % 10 + 1).cast("int"),
+    )
+    st = F.element_at(
+        F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        tm.alias("sentence"),
+        st.alias("source_type"),
+        F.col("source").alias("source_id"),
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 30).cast("int")
+        ).alias("pdate"),
+    )
+
+
+def _positions_df(spark: SparkSession, sf: str) -> DataFrame:
+    from neuronews_spark.operators.positions import extract_positions
+
+    return extract_positions(
+        _position_corpus(spark, sf),
+        sentence_col="sentence",
+        doc_col="doc_id",
+        type_col="source_type",
+        source_id_col="source_id",
+        date_col="pdate",
+    )
+
+
+def q_policy_positions(spark: SparkSession, sf: str) -> DataFrame:
+    # positions.py:192-347 — position-bearing sentence detection, actor
+    # extraction, topic taxonomy, planted dates.  position_id (sha1) is
+    # asserted in pytest instead: DuckDB has no sha1 to mirror it.
+    _prep(spark)
+    return _positions_df(spark, sf).drop("position_id")
+
+
+def q_position_followthrough(spark: SparkSession, sf: str) -> DataFrame:
+    # position_tracker.py:147-196 — positions × later articles via
+    # broadcast containment join, per-sentence signal classification,
+    # strict-best evidence per (position, article)
+    _prep(spark)
+    from neuronews_spark.operators.position_tracker import followthrough
+
+    pos = _positions_df(spark, sf)
+    d = _t(spark, sf, "documents")
+    arts = d.filter(F.col("doc_id") % 12 == 1).select(
+        F.col("doc_id").alias("article_id"),
+        # doc_id≡1 (mod 12) ⇒ doc_id%6 is constant — cycle templates on
+        # (doc_id-1)/12 instead so all six appear
+        F.element_at(
+            F.array(*[F.lit(t) for t in _FOLLOWTHROUGH_ARTICLES]),
+            ((F.col("doc_id") - 1) % 72 / 12).cast("int") + 1,
+        ).alias("content"),
+    )
+    return followthrough(pos, arts, pos_id_col="document_id").select(
+        F.col("position_id").alias("position_doc"),
+        "article_id",
+        "update_type",
+        "evidence_text",
+        "confidence",
+    )
+
+
+# Conflict-graph corpus: 5 polarity-planted claim templates (positive /
+# negative / neutral wording over a shared vocabulary) + the doc's first
+# 6 tokens for similarity variance; every doc_id%4==0 doc is a claim.
+# Explicit 'contradicts' links are the deterministic pair rule
+# (a+b)%7==0 within topic — the operator takes them as an input frame,
+# mirroring conflict_graph.py:236-249's claim_evidence lookup.
+_CONFLICT_TEMPLATES = [
+    # t0/t1: 9 of 11 content tokens shared, opposite polarity → the
+    # sim≥0.80 direct branch fires on suffix-free cross-source pairs
+    "costs increase while revenue and margin trends improve the quarterly"
+    " growth outlook overall for markets",
+    "costs decline while revenue and margin trends lower the quarterly"
+    " growth outlook overall for markets",
+    "the quarterly outlook stays flat with costs and margin trends"
+    " unchanged for markets",
+    "users support the higher expansion plan and positive gain for the quarter",
+    "critics oppose the lower contraction plan and negative loss for the quarter",
+]
+
+
+def _conflict_claims(spark: SparkSession, sf: str) -> DataFrame:
+    d = _t(spark, sf, "documents")
+    tm = F.element_at(
+        F.array(*[F.lit(t) for t in _CONFLICT_TEMPLATES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    st = F.element_at(
+        F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    # suffix length 0-2 tokens (doc_id%4==0 ⇒ doc_id%12 ∈ {0,4,8}):
+    # 0 keeps template pairs above the direct threshold, 1-2 spread sims
+    sfx_len = (F.col("doc_id") % 12 / 4).cast("int")
+    suffix = F.array_join(F.slice(F.split(F.col("text"), " "), 1, sfx_len), " ")
+    return d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("claim_id"),
+        F.concat_ws(" ", tm, suffix).alias("claim_text"),
+        st.alias("source_type"),
+        F.col("lang").alias("topic"),
+        F.col("source").alias("source_name"),
+    )
+
+
+def q_claim_conflicts(spark: SparkSession, sf: str) -> DataFrame:
+    # conflict_graph.py:133-167,263-296 — within-topic cross-source
+    # claim pairs via inverted-index cosine join, direct/implied typing
+    _prep(spark)
+    from neuronews_spark.operators.conflicts import detect_conflicts
+
+    claims = _conflict_claims(spark, sf)
+    a = claims.select(F.col("claim_id").alias("claim_id_a"), "topic")
+    b = claims.select(F.col("claim_id").alias("claim_id_b"), "topic")
+    explicit = (
+        a.join(b, "topic")
+        .filter(
+            (F.col("claim_id_a") < F.col("claim_id_b"))
+            & ((F.col("claim_id_a") + F.col("claim_id_b")) % 7 == 0)
+        )
+        .select("claim_id_a", "claim_id_b")
+    )
+    return detect_conflicts(claims, explicit)
+
+
+def q_claim_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # attribution.py:160-178 — unsourced-assertion detection per claim,
+    # content-type-aware; pure Column regexp chain (no UDF)
+    _prep(spark)
+    from neuronews_spark.operators.attribution import with_attribution
+
+    return with_attribution(_attribution_corpus(spark, sf))
+
+
+def q_outlet_transparency(spark: SparkSession, sf: str) -> DataFrame:
+    # outlet_scorer.py:178-233 — frame-entropy × attribution-rate ×
+    # stance-entropy composite per outlet; the reference's 3-queries-
+    # per-outlet driver loop becomes three grouped aggregations
+    _prep(spark)
+    from neuronews_spark.operators.attribution import with_attribution
+    from neuronews_spark.operators.evidence import claim_stances, find_evidence
+    from neuronews_spark.operators.outlet_scorer import outlet_scores
+
+    claims_ev, sentences, base = _evidence_frames(spark, sf)
+    ev = find_evidence(
+        claims_ev, sentences, threshold=0.2, max_evidence=2000, max_df_frac=0.3
+    )
+    stanced = claim_stances(claims_ev, ev).join(
+        base.select(F.col("doc_id").alias("doc"), "source"), "doc"
+    )
+    claims_attr = with_attribution(
+        _attribution_corpus(spark, sf).filter(F.col("doc_id") % 3 == 0)
+    )
+    return outlet_scores(_t(spark, sf, "documents"), claims_attr, stanced)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "latest_event_per_user_type": q_latest_event_per_user_type,
@@ -1089,6 +1324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_stats": q_component_stats,
         "er_lev_pairs": q_er_lev_pairs,
         "er_scale_scored_pairs": q_er_scale_scored_pairs,
+        "claim_attribution": q_claim_attribution,
+        "outlet_transparency": q_outlet_transparency,
+        "claim_conflicts": q_claim_conflicts,
+        "policy_positions": q_policy_positions,
+        "position_followthrough": q_position_followthrough,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -1527,6 +1767,470 @@ def _evidence_ctes() -> str:
     """
 
 
+def _attribution_ctes() -> str:
+    """Attribution-chain CTEs (no leading WITH): planted 10-template
+    corpus → per-pattern regexp extracts → the exact type-dispatched
+    priority chain of neuronews_spark/operators/attribution.py (all
+    patterns are RE2-compatible: no lookaround/backrefs).  Ends with
+    ``att(doc_id, source, source_type, claim_text, attributed,
+    attribution_text)``."""
+    from neuronews_spark.operators import attribution as A
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _ATTRIBUTION_TEMPLATES)
+    types = ", ".join("'" + t + "'" for t in _SOURCE_TYPES)
+    return f"""
+        att_corpus AS (
+          SELECT doc_id, source,
+                 ([{types}])[(doc_id % 7)::int + 1] AS source_type,
+                 ([{tmpl}])[(doc_id % 10)::int + 1] AS claim_text
+          FROM documents),
+        att_x AS (
+          SELECT *,
+            trim(regexp_extract(claim_text, '{q(A.NEWS_ACCORDING)}', 1)) AS acc,
+            trim(regexp_extract(claim_text, '{q(A.NEWS_PER)}', 1)) AS pr,
+            trim(regexp_extract(claim_text, '{q(A.NEWS_CITING)}', 1)) AS cit,
+            trim(regexp_extract(claim_text, '{q(A.NEWS_OFFICIALS)}', 1)) AS off,
+            trim(regexp_extract(claim_text, '{q(A.NEWS_SAID)}', 1)) AS said,
+            regexp_extract(claim_text, '{q(A.PAPER_APA)}', 0) AS apa,
+            regexp_extract(claim_text, '{q(A.PAPER_NUMERIC)}', 0) AS num,
+            trim(regexp_extract(claim_text, '{q(A.TRANSCRIPT_LABEL)}', 1)) AS lbl,
+            trim(regexp_extract(claim_text, '{q(A.TRANSCRIPT_ATTR)}', 1)) AS tat,
+            trim(regexp_extract(claim_text, '{q(A.FIRST_PERSON)}', 0)) AS fp,
+            regexp_matches(claim_text, '{q(A.OPINION_AS_FACT)}') AS opin
+          FROM att_corpus),
+        att_news AS (
+          SELECT *,
+            CASE WHEN acc <> '' THEN acc
+                 WHEN pr <> '' THEN pr
+                 WHEN cit <> '' THEN cit
+                 WHEN off <> '' THEN off
+                 WHEN said <> ''
+                      AND NOT regexp_matches(lower(said), '{q(A.SAID_OPENER)}')
+                   THEN said END AS news_snip
+          FROM att_x),
+        att AS (
+          SELECT doc_id, source, source_type, claim_text,
+                 snip IS NOT NULL AS attributed,
+                 CASE WHEN snip IS NOT NULL AND length(snip) > 120
+                      THEN substr(snip, 1, 117) || '…'
+                      ELSE snip END AS attribution_text
+          FROM (
+            SELECT *,
+              CASE WHEN source_type IN ('paper', 'book') THEN
+                     CASE WHEN apa <> '' THEN apa
+                          WHEN num <> '' THEN num END
+                   WHEN source_type = 'transcript' THEN
+                     CASE WHEN lbl <> '' THEN lbl
+                          WHEN tat <> '' THEN tat
+                          ELSE news_snip END
+                   WHEN source_type IN ('blog', 'note') THEN
+                     CASE WHEN fp <> '' THEN fp
+                          WHEN opin THEN NULL
+                          ELSE news_snip END
+                   ELSE news_snip END AS snip
+            FROM att_news))
+    """
+
+
+def _claim_conflicts_sql() -> str:
+    """conflict_graph.py mirror: the planted conflict corpus → polarity,
+    stopword-filtered term frequencies, inverted-index cosine, explicit
+    pair rule, and the exact direct/implied decision tree.  All numeric
+    inputs are exact small integers, so sim/round agree bit-for-bit."""
+    from neuronews_spark.operators import conflicts as C
+
+    tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _CONFLICT_TEMPLATES)
+    types = ", ".join("'" + t + "'" for t in _SOURCE_TYPES)
+    stops = ", ".join("'" + w + "'" for w in C.STOPWORDS)
+    pos = C.POS_RE.replace("'", "''")
+    neg = C.NEG_RE.replace("'", "''")
+    return f"""
+        WITH cl AS MATERIALIZED (
+          SELECT doc_id AS claim_id,
+                 ([{tmpl}])[(doc_id % 5)::int + 1] || ' ' ||
+                   coalesce(array_to_string(
+                     (string_split(text, ' '))[1:((doc_id % 12) // 4)::int],
+                     ' '), '') AS claim_text,
+                 ([{types}])[(doc_id % 7)::int + 1] AS source_type,
+                 lang AS topic, source AS source_name
+          FROM documents WHERE doc_id % 4 = 0),
+        expl AS (
+          SELECT a.claim_id AS ca, b.claim_id AS cb
+          FROM cl a JOIN cl b
+            ON a.topic = b.topic AND a.claim_id < b.claim_id
+          WHERE (a.claim_id + b.claim_id) % 7 = 0),
+        attrs AS (
+          SELECT claim_id, source_type, topic, source_name,
+                 CASE WHEN len(regexp_extract_all(claim_text, '{pos}', 1))
+                         > len(regexp_extract_all(claim_text, '{neg}', 1)) THEN 1
+                      WHEN len(regexp_extract_all(claim_text, '{neg}', 1))
+                         > len(regexp_extract_all(claim_text, '{pos}', 1)) THEN -1
+                      ELSE 0 END AS pol
+          FROM cl),
+        tf AS MATERIALIZED (
+          SELECT claim_id, topic, term, count(*)::double AS cnt
+          FROM (
+            SELECT claim_id, topic, unnest(
+              list_filter(
+                regexp_extract_all(lower(claim_text), '\\b[a-z]{{3,}}\\b'),
+                t -> NOT list_contains([{stops}], t))) AS term
+            FROM cl)
+          GROUP BY 1, 2, 3),
+        nrm AS (
+          SELECT claim_id, sqrt(sum(cnt * cnt)) AS norm FROM tf GROUP BY 1),
+        dots AS (
+          SELECT a.topic, a.claim_id AS ca, b.claim_id AS cb,
+                 sum(a.cnt * b.cnt) AS dot
+          FROM tf a JOIN tf b
+            ON a.topic = b.topic AND a.term = b.term
+           AND a.claim_id < b.claim_id
+          GROUP BY 1, 2, 3),
+        sims AS (
+          SELECT d.topic, d.ca, d.cb,
+                 round(d.dot / (na.norm * nb.norm), 4) AS sim,
+                 aa.source_type AS source_type_a, bb.source_type AS source_type_b,
+                 aa.source_name AS src_a, bb.source_name AS src_b,
+                 aa.pol AS pol_a, bb.pol AS pol_b,
+                 (e.ca IS NOT NULL) AS explicit
+          FROM dots d
+          JOIN nrm na ON na.claim_id = d.ca
+          JOIN nrm nb ON nb.claim_id = d.cb
+          JOIN attrs aa ON aa.claim_id = d.ca
+          JOIN attrs bb ON bb.claim_id = d.cb
+          LEFT JOIN expl e ON e.ca = d.ca AND e.cb = d.cb
+          WHERE aa.source_name <> bb.source_name),
+        typed AS (
+          SELECT *,
+                 CASE
+                   WHEN sim >= 0.80 AND (pol_a * pol_b = -1 OR explicit)
+                     THEN 'direct'
+                   WHEN explicit AND sim >= 0.45 THEN 'direct'
+                   WHEN sim >= 0.65 AND (explicit
+                        OR source_type_a <> source_type_b
+                        OR pol_a * pol_b = -1) THEN 'implied'
+                   WHEN explicit AND sim >= 0.30 THEN 'implied'
+                 END AS conflict_type
+          FROM sims)
+        SELECT ca AS claim_id_a, cb AS claim_id_b, conflict_type,
+               sim AS similarity_score, source_type_a, source_type_b, topic
+        FROM typed WHERE conflict_type IS NOT NULL
+    """
+
+
+def _position_ctes() -> str:
+    """positions.py mirror CTE chain (no leading WITH): planted sentence
+    corpus → claim-heuristic score (same float op order), commitment
+    boost, actor pattern chain (regexp_replace needs the 'g' flag in
+    DuckDB for the whitespace collapse), struct-max topic argmax,
+    planted dates.  Ends with ``positions(document_id, source_type,
+    actor, topic, position_text, position_date, confidence)``."""
+    from neuronews_spark.operators import positions as P
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _POSITION_TEMPLATES)
+    types = ", ".join("'" + t + "'" for t in _SOURCE_TYPES)
+
+    actor_caps = ",\n            ".join(
+        f"regexp_replace(trim(regexp_extract(sentence, '{q(pat)}', 1)),"
+        f" '[,.:;]+$', '') AS cap_{i}"
+        for i, pat in enumerate(P.ACTOR_PATTERNS)
+    )
+    actor_case = "CASE\n              " + "\n              ".join(
+        f"WHEN len(cap_{i}) > 2 AND len(cap_{i}) < 80 THEN"
+        f" trim(regexp_replace(cap_{i}, '\\s+', ' ', 'g'))"
+        for i in range(len(P.ACTOR_PATTERNS))
+    ) + "\n              ELSE source_id END"
+
+    topic_structs = ", ".join(
+        "struct_pack(hits := ("
+        + " + ".join(
+            f"CASE WHEN contains(combined, '{q(kw)}') THEN 1 ELSE 0 END"
+            for kw in kws
+        )
+        + f"), neg_idx := {-i}, label := '{label}')"
+        for i, (label, kws) in enumerate(P.TOPIC_TAXONOMY)
+    )
+
+    return f"""
+        pcorp AS MATERIALIZED (
+          SELECT doc_id,
+                 ([{tmpl}])[(doc_id % 10)::int + 1] AS sentence,
+                 ([{types}])[(doc_id % 7)::int + 1] AS source_type,
+                 source AS source_id,
+                 (DATE '2024-01-01' + ((doc_id % 30)::int)) AS pdate
+          FROM documents),
+        scored AS (
+          SELECT *,
+            greatest(0.05, least(0.95,
+              0.5
+              + CASE WHEN regexp_matches(lower(sentence), '{q(P._MEASURE)}')
+                     THEN 0.20 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(sentence), '{q(P._YEAR)}')
+                      AND regexp_matches(lower(sentence), '{q(P._DATED)}')
+                     THEN 0.10 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(sentence), '{q(P._PAST)}')
+                     THEN 0.15 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(sentence), '{q(P._INSTITUTION)}')
+                     THEN 0.10 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(sentence), '{q(P._HEDGE)}')
+                     THEN 0.20 ELSE 0.0 END
+              - CASE WHEN rtrim(sentence) LIKE '%?' THEN 0.30 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(sentence), '{q(P._FIRST_PERSON)}')
+                     THEN 0.15 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(sentence), '{q(P._OPINION_OPENER)}')
+                     THEN 0.20 ELSE 0.0 END)) AS score,
+            regexp_matches(sentence, '{q(P.COMMITMENT_RE)}') AS has_commit
+          FROM pcorp),
+        conf AS (
+          SELECT *,
+            (score >= 0.5) AS is_claim,
+            CASE WHEN score >= 0.5 THEN score ELSE 1.0 - score END AS c1
+          FROM scored),
+        rawed AS (
+          SELECT *,
+            CASE WHEN is_claim THEN c1 ELSE 1.0 - c1 END AS raw
+          FROM conf),
+        adj AS (
+          SELECT *,
+            CASE WHEN has_commit THEN least(0.95, raw + 0.15) ELSE raw END
+              AS adjusted
+          FROM rawed),
+        kept AS (
+          SELECT * FROM adj
+          WHERE NOT (rtrim(sentence) LIKE '%?')
+            AND adjusted >= 0.45 AND (is_claim OR has_commit)),
+        caps AS (
+          SELECT *,
+            {actor_caps}
+          FROM kept),
+        actors AS (
+          SELECT *,
+            {actor_case} AS actor,
+            lower(sentence) AS combined
+          FROM caps),
+        topics AS (
+          SELECT *,
+            list_aggregate([{topic_structs}], 'max') AS best
+          FROM actors),
+        positions AS (
+          SELECT doc_id AS document_id, source_type, actor,
+                 CASE WHEN best.hits > 0 THEN best.label
+                      ELSE 'general' END AS topic,
+                 sentence AS position_text,
+                 pdate AS position_date,
+                 round(adjusted, 6) AS confidence
+          FROM topics)
+    """
+
+
+def _policy_positions_sql() -> str:
+    return "WITH " + _position_ctes() + "\n        SELECT * FROM positions"
+
+
+def _followthrough_sql() -> str:
+    """position_tracker.py mirror: positions CTEs + planted article
+    corpus (\\n\\n-separated segments — RE2 has no lookbehind, so the
+    [.!?] half of the sentence split is exercised in pytest, not here) →
+    containment match, per-sentence signal classification, strict-best
+    window, no_signal fallback."""
+    from neuronews_spark.operators import position_tracker as T
+    from neuronews_spark.operators.positions import TOPIC_TAXONOMY
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    atmpl = ", ".join(
+        "'" + t.replace("'", "''").replace("\n", "\\n") + "'"
+        for t in _FOLLOWTHROUGH_ARTICLES
+    )
+
+    def am(text: str, actor: str) -> str:
+        return (
+            f"(CASE WHEN len(list_filter(string_split({actor}, ' '),"
+            f" w -> len(w) >= 4)) = 0"
+            f" THEN contains(lower({text}), lower({actor}))"
+            f" ELSE len(list_filter(list_filter(string_split({actor}, ' '),"
+            f" w -> len(w) >= 4),"
+            f" w -> contains(lower({text}), lower(w)))) > 0 END)"
+        )
+
+    tm_branches = " ".join(
+        f"WHEN '{label}' THEN ("
+        + " OR ".join(f"contains(lower({{t}}), '{q(kw)}')" for kw in kws)
+        + ")"
+        for label, kws in TOPIC_TAXONOMY
+    )
+
+    def tm(text: str, topic: str) -> str:
+        return (
+            f"(CASE {topic} "
+            + tm_branches.format(t=text)
+            + f" ELSE contains(lower({text}), lower({topic})) END)"
+        )
+
+    return (
+        "WITH "
+        + _position_ctes()
+        + f"""
+        , farticles AS MATERIALIZED (
+          SELECT doc_id AS article_id,
+                 replace(([{atmpl}])[(((doc_id - 1) % 72) // 12)::int + 1],
+                         '\\n', chr(10)) AS content
+          FROM documents WHERE doc_id % 12 = 1),
+        fpa AS MATERIALIZED (
+          SELECT p.document_id AS position_doc, p.actor, p.topic,
+                 a.article_id, a.content
+          FROM positions p CROSS JOIN farticles a
+          WHERE {am("a.content", "p.actor")}
+            AND {tm("a.content", "p.topic")}),
+        fsl AS (
+          SELECT *,
+                 list_filter(
+                   list_transform(
+                     regexp_split_to_array(trim(content), '\\n{{2,}}'),
+                     x -> trim(x)),
+                   x -> len(x) >= 20) AS sl
+          FROM fpa),
+        fsents AS (
+          SELECT position_doc, article_id, actor,
+                 unnest(list_transform(range(1, len(sl) + 1),
+                   i -> struct_pack(idx := i, s := sl[i::int]))) AS u
+          FROM fsl),
+        fscored AS (
+          SELECT position_doc, article_id, u.idx, u.s,
+                 CASE
+                   WHEN regexp_matches(u.s, '{q(T.REVERSAL_RE)}')
+                    AND NOT regexp_matches(u.s, '{q(T.REAFFIRM_RE)}')
+                     THEN struct_pack(ut := 'reversed', conf := 0.80)
+                   WHEN regexp_matches(u.s, '{q(T.REAFFIRM_RE)}')
+                    AND NOT regexp_matches(u.s, '{q(T.REVERSAL_RE)}')
+                     THEN struct_pack(ut := 'reaffirmed', conf := 0.75)
+                   WHEN regexp_matches(u.s, '{q(T.REVERSAL_RE)}')
+                    AND regexp_matches(u.s, '{q(T.REAFFIRM_RE)}')
+                     THEN struct_pack(ut := 'updated', conf := 0.50)
+                   WHEN regexp_matches(u.s, '{q(T.UPDATE_RE)}')
+                     THEN struct_pack(ut := 'updated', conf := 0.65)
+                   ELSE struct_pack(ut := 'no_signal', conf := 0.30)
+                 END AS c
+          FROM fsents
+          WHERE {am("u.s", "actor")}),
+        fbest AS (
+          SELECT * FROM (
+            SELECT position_doc, article_id, c.ut AS update_type, s,
+                   c.conf AS conf,
+                   row_number() OVER (
+                     PARTITION BY position_doc, article_id
+                     ORDER BY c.conf DESC, idx ASC) AS rn
+            FROM fscored WHERE c.conf > 0.30)
+          WHERE rn = 1)
+        SELECT m.position_doc, m.article_id,
+               coalesce(b.update_type, 'no_signal') AS update_type,
+               substr(coalesce(b.s, substr(m.content, 1, 200)), 1, 500)
+                 AS evidence_text,
+               round(coalesce(b.conf, 0.30), 4) AS confidence
+        FROM fpa m
+        LEFT JOIN fbest b
+          ON b.position_doc = m.position_doc AND b.article_id = m.article_id
+    """
+    )
+
+
+def _outlet_transparency_sql() -> str:
+    """outlet_scorer.py:178-233 mirror: evidence→stance CTEs +
+    attribution CTEs + keyword-frame entropy, joined per source.  All
+    float arithmetic replicates the Spark fold order (left-assoc sums,
+    p=x/total terms) so round(·,4) agrees."""
+    from neuronews_spark.operators.outlet_clustering import DEFAULT_FRAME_KEYWORDS
+
+    frames = list(DEFAULT_FRAME_KEYWORDS)
+    score_exprs = ",\n             ".join(
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join("'" + w + "'" for w in DEFAULT_FRAME_KEYWORDS[f])
+        + f"], t)))::double / len(toks)::double AS s_{f}"
+        for f in frames
+    )
+    avg_exprs = ",\n             ".join(f"avg(s_{f}) AS a_{f}" for f in frames)
+    named = [f"a_{f}" for f in frames]
+    masses = named + ["a_other"]
+
+    def term(m: str, tot: str) -> str:
+        return (
+            f"CASE WHEN {m} / {tot} > 1e-9 "
+            f"THEN -({m} / {tot}) * ln({m} / {tot}) ELSE 0.0 END"
+        )
+
+    fent_terms = " + ".join(term(m, "ftotal") for m in masses)
+    s_masses = ["m_sup", "m_crit", "m_neu", "m_amb"]
+    sent_terms = " + ".join(term(m, "stotal") for m in s_masses)
+    return (
+        _evidence_ctes()
+        + ", "
+        + _attribution_ctes()
+        + f"""
+        , ftoks AS (
+          SELECT source,
+                 list_filter(list_transform(regexp_split_to_array(text, '\\s+'),
+                                            x -> lower(x)),
+                             x -> x <> '') AS toks
+          FROM documents),
+        fscore AS (
+          SELECT source,
+             {score_exprs}
+          FROM ftoks),
+        favg AS (
+          SELECT source, count(*)::bigint AS doc_count,
+             {avg_exprs}
+          FROM fscore GROUP BY 1),
+        fmass AS (
+          SELECT *, 1.0 - ({" + ".join(named)}) AS a_other FROM favg),
+        ftot AS (
+          SELECT *, ({" + ".join(masses)}) AS ftotal FROM fmass),
+        fent AS (
+          SELECT source, doc_count,
+                 round(CASE WHEN ftotal < 1e-9 THEN 0.0
+                       ELSE ({fent_terms}) / ln(7) END, 4) AS frame_diversity
+          FROM ftot),
+        scnt AS (
+          SELECT b.source,
+             sum(CASE WHEN stance = 'supportive' THEN 1 ELSE 0 END)::double AS m_sup,
+             sum(CASE WHEN stance = 'critical' THEN 1 ELSE 0 END)::double AS m_crit,
+             sum(CASE WHEN stance = 'neutral' THEN 1 ELSE 0 END)::double AS m_neu,
+             sum(CASE WHEN stance = 'ambiguous' THEN 1 ELSE 0 END)::double AS m_amb
+          FROM stanced st JOIN base b ON b.doc_id = st.doc GROUP BY 1),
+        stot AS (
+          SELECT *, (m_sup + m_crit + m_neu + m_amb) AS stotal FROM scnt),
+        snent AS (
+          SELECT source,
+                 round(CASE WHEN stotal < 1e-9 THEN 0.0
+                       ELSE ({sent_terms}) / ln(4) END, 4) AS stance_neutrality
+          FROM stot),
+        arate AS (
+          SELECT source,
+                 round(sum(CASE WHEN attributed THEN 1 ELSE 0 END)::double
+                       / count(*)::double, 4) AS attribution_rate,
+                 count(*)::bigint AS claim_count
+          FROM att WHERE doc_id % 3 = 0 GROUP BY 1)
+        SELECT f.source, f.frame_diversity,
+               coalesce(a.attribution_rate, 0.0) AS attribution_rate,
+               coalesce(s.stance_neutrality, 0.5) AS stance_neutrality,
+               f.doc_count,
+               coalesce(a.claim_count, 0) AS claim_count,
+               round((f.frame_diversity + coalesce(a.attribution_rate, 0.0)
+                      + coalesce(s.stance_neutrality, 0.5)) / 3.0, 4)
+                 AS composite_score
+        FROM fent f
+        LEFT JOIN arate a USING (source)
+        LEFT JOIN snent s USING (source)
+        WHERE f.doc_count >= 3
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
     neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
@@ -1611,6 +2315,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE lev_sim >= 0.6 OR jaro_winkler >= 0.75
         """,
         "doc_claims": _doc_claims_sql(),
+        "claim_attribution": "WITH "
+        + _attribution_ctes()
+        + """
+            SELECT doc_id, source, source_type, claim_text,
+                   attributed, attribution_text
+            FROM att
+        """,
+        "outlet_transparency": _outlet_transparency_sql(),
+        "claim_conflicts": _claim_conflicts_sql(),
+        "policy_positions": _policy_positions_sql(),
+        "position_followthrough": _followthrough_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,

@@ -1,0 +1,341 @@
+"""Policy-position extraction: (actor, topic, commitment sentence) rows.
+
+Clean-room re-expression of the reference's position pipeline
+(``/root/reference/src/argument_mining/positions.py:41-347`` and the
+claim heuristic it calls, ``models.py:134-166``):
+
+  position-bearing  claim-heuristic raw score, +0.15 boost when a
+                    commitment verb is present (capped 0.95), keep when
+                    adjusted ≥ 0.45 AND (is_claim OR commitment);
+                    questions never qualify (positions.py:192-210)
+  actor             7 regex patterns in priority order (speaker labels,
+                    titled names, apposition, name+verb, org subjects),
+                    first match whose trimmed group is 2<len<80;
+                    fallbacks author → source_id → source_type
+                    (positions.py:213-237)
+  topic             keyword-count argmax over a 9-topic taxonomy on
+                    (title + sentence), ties to the earlier label,
+                    'general' when nothing hits (positions.py:240-273)
+  position_id       'pos-' + sha1(doc|actor|sentence)[:32]
+                    (positions.py:288-296)
+
+The reference walks documents one at a time through Python loops; here
+every rule is a Column expression (regexp_extract / chained whens /
+greatest-struct argmax) — JVM codegen end to end, no UDFs — and every
+pattern is RE2-compatible so the driver oracle (``policy_positions``)
+mirrors the chain in DuckDB.  A Python kernel backs differential tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# positions.py:42-66 — commitment verbs
+COMMITMENT_RE = (
+    r"(?i)\b(will\s+\w+|plans?\s+to|intends?\s+to|aims?\s+to|seeks?\s+to|"
+    r"committed?\s+to|pledged?|promised?|vowed?|proposed?|announced?|urges?|"
+    r"calls?\s+for|calls?\s+on|demands?|requires?|mandates?)"
+)
+
+# positions.py actor patterns, in priority order (first 2 case-sensitive,
+# last 2 case-insensitive — matching the reference's re.IGNORECASE flags)
+ACTOR_PATTERNS = [
+    r"^([A-Z][A-Z\s]{2,30}):",
+    r"^([A-Z][a-z]+(?:\s+[A-Z][a-z]+){1,4}):\s",
+    r"\b(?:President|Prime\s+Minister|Minister|Secretary(?:\s+of\s+State)?|"
+    r"Governor|Senator|Chancellor|Commissioner|General|Admiral|Director|CEO|"
+    r"Chair(?:man|woman|person)?|Representative|Ambassador|Mayor|Premier)\s+"
+    r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+){0,3})\b",
+    r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+),\s+(?:the\s+)?[a-z]+"
+    r"(?:\s+[a-z]+)?,\s+(?:said|announced|stated|pledged|promised|vowed)",
+    r"([A-Z][a-z]+(?:\s+[A-Z][a-z]+)+)\s+"
+    r"(?:said|stated|announced|pledged|promised|vowed|committed|proposed|urged|warned)",
+    r"(?i)((?:The\s+)?(?:CFO|CTO|COO|CRO|board|committee|cabinet|council|"
+    r"panel|task\s+force|working\s+group|executive\s+team|leadership\s+team))"
+    r"(?:\s+|,\s+)(?:committed|resolved|pledged|vowed|plans|will\b|announced|agreed|decided)",
+    r"(?i)((?:The\s+)?(?:government|administration|ruling\s+party|opposition|ministry|"
+    r"department|authority|agency|regulator|union|alliance|party|"
+    r"senate|congress|parliament|court|treasury|central\s+bank))"
+    r"\s+(?:will\b|has\s+pledged|announced|said|plans|committed|vowed)",
+]
+
+# positions.py topic taxonomy (order is the tiebreak priority)
+TOPIC_TAXONOMY: list[tuple[str, list[str]]] = [
+    ("healthcare", ["health", "medical", "hospital", "vaccine", "drug",
+                    "medicine", "patient", "nhs", "medicare", "medicaid",
+                    "pharmaceutical", "treatment", "disease", "cancer",
+                    "mental health", "pandemic", "public health"]),
+    ("economy", ["economy", "economic", "inflation", "gdp", "unemployment",
+                 "tax", "budget", "fiscal", "monetary", "trade", "deficit",
+                 "debt", "growth", "recession", "interest rate", "central bank",
+                 "finance", "market", "currency", "wage", "pension", "subsidy",
+                 "tariff"]),
+    ("environment", ["climate", "environment", "carbon", "emission",
+                     "renewable", "energy", "fossil fuel", "net zero",
+                     "biodiversity", "deforestation", "pollution", "green",
+                     "solar", "wind", "nuclear", "sustainability"]),
+    ("security", ["military", "defence", "defense", "security", "army", "navy",
+                  "weapon", "nato", "border", "terrorism", "cyberattack",
+                  "intelligence", "war", "nuclear", "missile", "sanction",
+                  "troops"]),
+    ("law", ["law", "legal", "court", "legislation", "regulation", "bill",
+             "act", "rights", "constitution", "crime", "justice", "police",
+             "prison", "penalty", "compliance", "enforcement", "verdict"]),
+    ("politics", ["election", "vote", "party", "government", "minister",
+                  "parliament", "senate", "congress", "president",
+                  "prime minister", "democracy", "reform", "policy",
+                  "political", "campaign", "referendum"]),
+    ("social", ["inequality", "poverty", "housing", "education", "school",
+                "university", "welfare", "child", "family", "immigration",
+                "refugee", "discrimination", "gender", "race", "ethnicity",
+                "labour", "worker", "union"]),
+    ("technology", ["technology", "tech", "ai", "artificial intelligence",
+                    "data", "digital", "software", "internet", "cyber",
+                    "privacy", "algorithm", "robot", "automation",
+                    "semiconductor", "platform"]),
+    ("business", ["company", "corporation", "ceo", "shareholder", "merger",
+                  "acquisition", "profit", "revenue", "market share",
+                  "competition", "antitrust", "startup", "investment", "ipo",
+                  "stock"]),
+]
+
+MIN_CONFIDENCE = 0.45  # positions.py:_MIN_CONFIDENCE
+
+# models.py:134-166 claim-heuristic signal patterns (applied to lowercase)
+_MEASURE = r"\b\d+(\.\d+)?\s*(%|bn|million|thousand|°c|km|mg|hz)\b"
+_YEAR = r"\b\d{4}\b"
+_DATED = (
+    r"\b(january|february|march|april|may|june|july|august|september|october|"
+    r"november|december|monday|tuesday|wednesday|thursday|friday)\b"
+)
+_PAST = (
+    r"\b(was|were|had|said|reported|found|showed|rose|fell|signed|passed|"
+    r"ruled|confirmed|announced|published|identified|collapsed|resigned|died|won)\b"
+)
+_INSTITUTION = (
+    r"\b(the (government|court|company|bank|university|study|report|institute|"
+    r"agency|committee))\b"
+)
+_HEDGE = (
+    r"\b(may|might|could|would|perhaps|possibly|seem|appear|believe|think|"
+    r"feel|argue|suggest|worry|hope|fear|expect)\b"
+)
+_FIRST_PERSON = r"\b(i|we|our|my)\b"
+_OPINION_OPENER = (
+    r"^(in my|in our|many (people|observers|analysts|experts) "
+    r"(believe|think|say|argue)|it remains|the question|critics|supporters)"
+)
+
+
+def claim_score(text: Column) -> Column:
+    """Clamped heuristic claim score (models.py:134-160) — the exact
+    sequential +=/-= order is preserved so floats match the kernel."""
+    t = F.lower(text)
+    score = (
+        F.lit(0.5)
+        + F.when(t.rlike(_MEASURE), 0.20).otherwise(0.0)
+        + F.when(t.rlike(_YEAR) & t.rlike(_DATED), 0.10).otherwise(0.0)
+        + F.when(t.rlike(_PAST), 0.15).otherwise(0.0)
+        + F.when(t.rlike(_INSTITUTION), 0.10).otherwise(0.0)
+        - F.when(t.rlike(_HEDGE), 0.20).otherwise(0.0)
+        - F.when(F.rtrim(text).endswith("?"), 0.30).otherwise(0.0)
+        - F.when(t.rlike(_FIRST_PERSON), 0.15).otherwise(0.0)
+        - F.when(t.rlike(_OPINION_OPENER), 0.20).otherwise(0.0)
+    )
+    return F.greatest(F.lit(0.05), F.least(F.lit(0.95), score))
+
+
+def position_confidence(text: Column) -> Column:
+    """(is_position boolean, confidence double) struct —
+    positions.py:192-210 including the reference's is_claim→confidence→
+    raw-score float round trip."""
+    score = claim_score(text)
+    is_claim = score >= 0.5
+    conf = F.when(is_claim, score).otherwise(F.lit(1.0) - score)
+    raw = F.when(is_claim, conf).otherwise(F.lit(1.0) - conf)
+    has_commit = text.rlike(COMMITMENT_RE)
+    adjusted = F.when(has_commit, F.least(F.lit(0.95), raw + 0.15)).otherwise(raw)
+    is_pos = (
+        ~F.rtrim(text).endswith("?")
+        & (adjusted >= MIN_CONFIDENCE)
+        & (is_claim | has_commit)
+    )
+    return F.struct(is_pos.alias("is_position"), adjusted.alias("confidence"))
+
+
+def extract_actor(
+    sentence: Column,
+    author: Column | None = None,
+    source_id: Column | None = None,
+    source_type: Column | None = None,
+) -> Column:
+    """First matching actor pattern whose trimmed capture is 2<len<80
+    (length gated BEFORE whitespace normalisation, as the reference
+    does), else author → source_id → source_type (positions.py:213-237)."""
+    out: Column | None = None
+    for pat in ACTOR_PATTERNS:
+        cap = F.regexp_replace(
+            F.trim(F.regexp_extract(sentence, pat, 1)), r"[,.:;]+$", ""
+        )
+        ok = (F.length(cap) > 2) & (F.length(cap) < 80)
+        norm = F.trim(F.regexp_replace(cap, r"\s+", " "))
+        out = F.when(ok, norm) if out is None else out.when(ok, norm)
+    fallback = F.coalesce(
+        *(c for c in (author, source_id, source_type) if c is not None),
+        F.lit("unknown"),
+    )
+    return out.otherwise(fallback)
+
+
+def infer_topic(combined: Column) -> Column:
+    """Keyword-count argmax over the taxonomy on an already-lowercased
+    (title + ' ' + sentence) column; strict-majority tiebreak to the
+    earlier label; 'general' when no keyword hits (positions.py:258-273)."""
+    entries = []
+    for i, (label, keywords) in enumerate(TOPIC_TAXONOMY):
+        zero = F.lit(0)
+        hits = zero
+        for kw in keywords:
+            hits = hits + F.when(combined.contains(kw), 1).otherwise(0)
+        entries.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(label).alias("label"),
+            )
+        )
+    best = F.array_max(F.array(*entries))
+    return F.when(best["hits"] > 0, best["label"]).otherwise(F.lit("general"))
+
+
+def position_id(document_id: Column, actor: Column, sentence: Column) -> Column:
+    """'pos-' + sha1(f"{doc}|{actor}|{sentence}")[:32] (positions.py:288-296)."""
+    return F.concat(
+        F.lit("pos-"),
+        F.substring(F.sha1(F.concat_ws("|", document_id, actor, sentence)), 1, 32),
+    )
+
+
+def extract_positions(
+    df: DataFrame,
+    sentence_col: str = "sentence",
+    doc_col: str = "doc_id",
+    type_col: str = "source_type",
+    title_col: str | None = None,
+    author_col: str | None = None,
+    source_id_col: str | None = None,
+    date_col: str | None = None,
+) -> DataFrame:
+    """One row per position-bearing sentence: (position_id, doc, actor,
+    topic, position_text, position_date?, source_type, confidence).
+    Narrow projection + filter — no shuffle; at 100 TB this pipelines
+    with the sentence-explode that feeds it."""
+    s = F.col(sentence_col)
+    pc = position_confidence(s)
+    combined = F.lower(
+        F.concat_ws(" ", F.col(title_col), s) if title_col else s
+    )
+    actor = extract_actor(
+        s,
+        F.col(author_col) if author_col else None,
+        F.col(source_id_col) if source_id_col else None,
+        F.col(type_col),
+    )
+    out = (
+        df.withColumn("_pc", pc)
+        .filter(F.col("_pc.is_position"))
+        .withColumn("actor", actor)
+        .select(
+            position_id(F.col(doc_col).cast("string"), F.col("actor"), s).alias(
+                "position_id"
+            ),
+            F.col(doc_col).alias("document_id"),
+            F.col(type_col).alias("source_type"),
+            "actor",
+            infer_topic(combined).alias("topic"),
+            s.alias("position_text"),
+            *((F.col(date_col).alias("position_date"),) if date_col else ()),
+            F.round(F.col("_pc.confidence"), 6).alias("confidence"),
+        )
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# Python kernel mirror (differential tests only)
+# ----------------------------------------------------------------------
+
+
+def _c(pat: str) -> re.Pattern:
+    return (
+        re.compile(pat[4:], re.I) if pat.startswith("(?i)") else re.compile(pat)
+    )
+
+
+_PY_COMMIT = _c(COMMITMENT_RE)
+_PY_ACTORS = [_c(p) for p in ACTOR_PATTERNS]
+
+
+def claim_score_py(text: str) -> float:
+    t = text.lower()
+    score = 0.5
+    if re.search(_MEASURE, t):
+        score += 0.20
+    if re.search(_YEAR, t) and re.search(_DATED, t):
+        score += 0.10
+    if re.search(_PAST, t):
+        score += 0.15
+    if re.search(_INSTITUTION, t):
+        score += 0.10
+    if re.search(_HEDGE, t):
+        score -= 0.20
+    if text.strip().endswith("?"):
+        score -= 0.30
+    if re.search(_FIRST_PERSON, t):
+        score -= 0.15
+    if re.search(_OPINION_OPENER, t):
+        score -= 0.20
+    return max(0.05, min(0.95, score))
+
+
+def position_confidence_py(text: str) -> tuple[bool, float]:
+    score = claim_score_py(text)
+    is_claim = score >= 0.5
+    conf = score if is_claim else 1.0 - score
+    raw = conf if is_claim else 1.0 - conf
+    has_commit = bool(_PY_COMMIT.search(text))
+    adjusted = min(0.95, raw + 0.15) if has_commit else raw
+    if text.strip().endswith("?"):
+        return False, adjusted
+    return adjusted >= MIN_CONFIDENCE and (is_claim or has_commit), adjusted
+
+
+def extract_actor_py(
+    sentence: str, author: str | None, source_id: str | None, source_type: str
+) -> str:
+    for pat in _PY_ACTORS:
+        m = pat.search(sentence)
+        if m:
+            actor = m.group(1).strip().rstrip(",.:;")
+            if 2 < len(actor) < 80:
+                return re.sub(r"\s+", " ", actor).strip()
+    return author or source_id or source_type
+
+
+def infer_topic_py(combined: str) -> str:
+    combined = combined.lower()
+    best_label, best_count = "general", 0
+    for label, keywords in TOPIC_TAXONOMY:
+        hits = sum(1 for kw in keywords if kw in combined)
+        if hits > best_count:
+            best_count, best_label = hits, label
+    return best_label
+
+
+def position_id_py(document_id: str, actor: str, sentence: str) -> str:
+    h = hashlib.sha1(f"{document_id}|{actor}|{sentence}".encode()).hexdigest()[:32]
+    return f"pos-{h}"
