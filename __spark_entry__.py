@@ -1084,6 +1084,64 @@ def _attribution_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Fact-check ratings corpus: 12 planted ClaimReview textualRating
+# strings covering every normalisation branch (exact sets, each
+# partial-match fallback group, unverified) plus whitespace/case noise.
+_FACTCHECK_RATINGS = [
+    "True",
+    " Mostly False ",
+    "HALF TRUE",
+    "Pants on Fire",
+    "this is true",
+    "rated accurate by reviewers",
+    "a fabricated story",
+    "requires context",
+    "no rating available",
+    "Misleading",
+    "verdict: false",
+    "clearly verified account",
+]
+
+
+def q_factcheck_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    # factcheck.py:57-92,221-233 — verdict normalisation over the stale-
+    # claim work queue (never checked, or checked before now − 7d,
+    # newest 50 first); 'now' is pinned so the sweep is deterministic
+    _prep(spark)
+    from neuronews_spark.operators.factcheck import normalize_verdict, select_stale
+
+    d = _t(spark, sf, "documents")
+    rating = F.element_at(
+        F.array(*[F.lit(t) for t in _FACTCHECK_RATINGS]),
+        (F.col("doc_id") % 12 + 1).cast("int"),
+    )
+    claims = d.select(
+        "doc_id",
+        rating.alias("textual_rating"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(
+            F.expr(
+                "timestamp'2024-06-01 00:00:00' - "
+                "make_interval(0, 0, 0, CAST(doc_id % 14 AS INT), 0, 0, 0)"
+            )
+        )
+        .alias("factcheck_checked_at"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + "
+            "make_interval(0, 0, 0, 0, 0, 0, CAST(doc_id AS INT))"
+        ).alias("extracted_at"),
+    )
+    stale = select_stale(
+        claims, F.lit("2024-06-01 00:00:00").cast("timestamp"), limit=50
+    )
+    return stale.select(
+        "doc_id",
+        "textual_rating",
+        normalize_verdict(F.col("textual_rating")).alias("verdict"),
+        "extracted_at",
+    )
+
+
 # Position corpus: 10 planted sentences covering all 7 actor patterns,
 # the author/source_id fallback, the question exclusion, the hedged
 # non-claim exclusion, and 5 distinct topics (positions.py:41-140)
@@ -1329,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_conflicts": q_claim_conflicts,
         "policy_positions": q_policy_positions,
         "position_followthrough": q_position_followthrough,
+        "factcheck_verdicts": q_factcheck_verdicts,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2140,6 +2199,57 @@ def _followthrough_sql() -> str:
     )
 
 
+def _factcheck_verdicts_sql() -> str:
+    """factcheck.py:57-92,221-233 mirror: exact-set membership, ordered
+    partial fallbacks, 7-day stale cutoff against the pinned 'now',
+    newest-50 cap (distinct extracted_at per claim → deterministic)."""
+    from neuronews_spark.operators import factcheck as FC
+
+    ratings = ", ".join("'" + t.replace("'", "''") + "'" for t in _FACTCHECK_RATINGS)
+
+    def inlist(vals: list[str]) -> str:
+        return ", ".join("'" + v + "'" for v in vals)
+
+    def anyc(tokens: list[str]) -> str:
+        return " OR ".join(f"contains(r, '{t}')" for t in tokens)
+
+    return f"""
+        WITH fc AS (
+          SELECT doc_id,
+                 ([{ratings}])[(doc_id % 12)::int + 1] AS textual_rating,
+                 CASE WHEN doc_id % 3 = 0 THEN NULL
+                      ELSE TIMESTAMP '2024-06-01 00:00:00'
+                           - (doc_id % 14)::int * INTERVAL 1 DAY
+                 END AS checked_at,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + (doc_id)::int * INTERVAL 1 SECOND AS extracted_at
+          FROM documents),
+        stale AS (
+          SELECT * FROM fc
+          WHERE checked_at IS NULL
+             OR checked_at < TIMESTAMP '2024-06-01 00:00:00'
+                             - INTERVAL 7 DAY
+          ORDER BY extracted_at DESC NULLS LAST
+          LIMIT 50),
+        normed AS (
+          SELECT doc_id, textual_rating, extracted_at,
+                 lower(trim(textual_rating)) AS r
+          FROM stale)
+        SELECT doc_id, textual_rating,
+               CASE
+                 WHEN r IN ({inlist(FC.TRUE_RATINGS)}) THEN 'verified'
+                 WHEN r IN ({inlist(FC.FALSE_RATINGS)}) THEN 'disputed'
+                 WHEN r IN ({inlist(FC.MIXED_RATINGS)}) THEN 'mixed'
+                 WHEN {anyc(FC.TRUE_TOKENS)} THEN 'verified'
+                 WHEN {anyc(FC.FALSE_TOKENS)} THEN 'disputed'
+                 WHEN {anyc(FC.MIXED_TOKENS)} THEN 'mixed'
+                 ELSE 'unverified'
+               END AS verdict,
+               extracted_at
+        FROM normed
+    """
+
+
 def _outlet_transparency_sql() -> str:
     """outlet_scorer.py:178-233 mirror: evidence→stance CTEs +
     attribution CTEs + keyword-frame entropy, joined per source.  All
@@ -2326,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "claim_conflicts": _claim_conflicts_sql(),
         "policy_positions": _policy_positions_sql(),
         "position_followthrough": _followthrough_sql(),
+        "factcheck_verdicts": _factcheck_verdicts_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,
