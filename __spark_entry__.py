@@ -1084,6 +1084,73 @@ def _attribution_corpus(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Actor-metadata corpus: per-type planted content exercising every
+# extractor section (metadata.py:225-360): said/quote speakers + org
+# suffixes (news family), at/from institutions + publisher (paper),
+# diarized + label speakers (transcript), ALL-CAPS dialogue (book),
+# creator (note); authors vary 1-2, source_id validity alternates.
+_ACTOR_CONTENT = {
+    "news": 'Omar Hart said the plan works. "it is working well", Jane Doe'
+    " noted. Acme Data Group expanded operations",
+    "paper": "the methods at Stanford University hold and results from"
+    " Oxford Institute agree",
+    "transcript": "ANNA REY: we will start now\nBob Lim: agreed on the plan",
+    "book": "NARRATOR: in the beginning\nJOHN DOE: hello there",
+    "note": "meeting notes with no named speakers at all",
+}
+
+
+def q_doc_actors(spark: SparkSession, sf: str) -> DataFrame:
+    # metadata.py:176-401 — content-type-aware actor/source extraction,
+    # heuristic path; entity_id (sha1) asserted in pytest (no DuckDB
+    # sha1), so the driver output carries the other five columns
+    _prep(spark)
+    from neuronews_spark.operators.actors import extract_actors
+
+    d = _t(spark, sf, "documents")
+    content = F.element_at(
+        F.array(
+            *[
+                F.lit(_ACTOR_CONTENT.get(t) or _ACTOR_CONTENT["news"])
+                for t in _SOURCE_TYPES
+            ]
+        ),
+        (F.col("doc_id") % 7 + 1).cast("int"),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+            (F.col("doc_id") % 7 + 1).cast("int"),
+        ).alias("source_type"),
+        content.alias("content"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit("Pat Lee"), F.lit("Kim Cho"))
+        )
+        .otherwise(F.array(F.lit("Pat Lee")))
+        .alias("authors"),
+        F.when(
+            F.col("doc_id") % 4 < 2, F.concat(F.lit("Daily "), F.col("source"))
+        )
+        .otherwise(F.col("source"))
+        .alias("source_id"),
+        F.lit("Nature Press").alias("publisher"),
+        F.lit("Dana Cole").alias("creator"),
+        F.array(F.lit("Omar Hart")).alias("speakers"),
+    )
+    return extract_actors(
+        corpus,
+        doc_col="doc_id",
+        type_col="source_type",
+        content_col="content",
+        authors_col="authors",
+        source_id_col="source_id",
+        publisher_col="publisher",
+        creator_col="creator",
+        speakers_col="speakers",
+    ).drop("entity_id")
+
+
 # Fact-check ratings corpus: 12 planted ClaimReview textualRating
 # strings covering every normalisation branch (exact sets, each
 # partial-match fallback group, unverified) plus whitespace/case noise.
@@ -1388,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_positions": q_policy_positions,
         "position_followthrough": q_position_followthrough,
         "factcheck_verdicts": q_factcheck_verdicts,
+        "doc_actors": q_doc_actors,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2191,12 +2259,136 @@ def _followthrough_sql() -> str:
                coalesce(b.update_type, 'no_signal') AS update_type,
                substr(coalesce(b.s, substr(m.content, 1, 200)), 1, 500)
                  AS evidence_text,
-               round(coalesce(b.conf, 0.30), 4) AS confidence
+               round(coalesce(b.conf, 0.30), 4)::double AS confidence
         FROM fpa m
         LEFT JOIN fbest b
           ON b.position_doc = m.position_doc AND b.article_id = m.article_id
     """
     )
+
+
+def _doc_actors_sql() -> str:
+    """metadata.py mirror: per-type sections as UNION ALL branches with a
+    global emission order (section rank, match ordinality), the
+    quote-suppressed-by-said rule, validity filter, and the
+    first-max-confidence dedup per (doc, lower(name), role)."""
+    from neuronews_spark.operators import actors as A
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    types = ", ".join("'" + t + "'" for t in _SOURCE_TYPES)
+    contents = ", ".join(
+        "'"
+        + (_ACTOR_CONTENT.get(t) or _ACTOR_CONTENT["news"])
+        .replace("'", "''")
+        .replace("\n", "\\n")
+        + "'"
+        for t in _SOURCE_TYPES
+    )
+    skip = ", ".join("'" + w + "'" for w in A.SKIP_NAMES)
+
+    def rx(body: str, pat: str, st_filter: str, role: str, conf: float, sec: int) -> str:
+        return f"""
+          SELECT doc_id, source_type, trim(u.s) AS actor_name,
+                 '{role}' AS role, {conf} AS confidence, {sec} AS sec, u.idx
+          FROM (
+            SELECT doc_id, source_type,
+                   unnest(list_transform(range(1, len(ml) + 1),
+                          i -> struct_pack(idx := i, s := ml[i::int]))) AS u
+            FROM (
+              SELECT doc_id, source_type,
+                     regexp_extract_all({body}, '{q(pat)}', 1) AS ml
+              FROM acorp WHERE source_type IN ({st_filter})))"""
+
+    news_types = "'news', 'blog', 'web'"
+    return f"""
+        WITH acorp AS MATERIALIZED (
+          SELECT doc_id,
+                 ([{types}])[(doc_id % 7)::int + 1] AS source_type,
+                 replace(([{contents}])[(doc_id % 7)::int + 1], '\\n', chr(10))
+                   AS content,
+                 CASE WHEN doc_id % 2 = 0 THEN ['Pat Lee', 'Kim Cho']
+                      ELSE ['Pat Lee'] END AS authors,
+                 CASE WHEN doc_id % 4 < 2 THEN 'Daily ' || source
+                      ELSE source END AS source_id,
+                 'Nature Press' AS publisher,
+                 'Dana Cole' AS creator,
+                 ['Omar Hart'] AS speakers
+          FROM documents),
+        raw_recs AS (
+          SELECT doc_id, source_type, trim(u.s) AS actor_name,
+                 'author' AS role, 0.95 AS confidence, 0 AS sec, u.idx
+          FROM (
+            SELECT doc_id, source_type,
+                   unnest(list_transform(range(1, len(authors) + 1),
+                          i -> struct_pack(idx := i, s := authors[i::int]))) AS u
+            FROM acorp)
+          UNION ALL
+          SELECT doc_id, source_type, trim(source_id), 'subject', 0.90, 1, 1
+          FROM acorp WHERE source_type IN ({news_types})
+          UNION ALL {rx("content", A.SAID_RE, news_types, "speaker", 0.72, 2)}
+          UNION ALL {rx("content", A.QUOTE_SAID_RE, news_types, "speaker", 0.78, 3)}
+          UNION ALL {rx("content", A.ORG_CAPS_RE, news_types, "subject", 0.65, 4)}
+          UNION ALL {rx("content", A.PAPER_INSTITUTION_RE, "'paper'", "subject", 0.65, 2)}
+          UNION ALL
+          SELECT doc_id, source_type, trim(publisher), 'subject', 0.88, 3, 1
+          FROM acorp WHERE source_type IN ('paper', 'book')
+          UNION ALL
+          SELECT doc_id, source_type, trim(u.s), 'speaker', 0.90, 1, u.idx
+          FROM (
+            SELECT doc_id, source_type,
+                   unnest(list_transform(range(1, len(ml) + 1),
+                          i -> struct_pack(idx := i, s := ml[i::int]))) AS u
+            FROM (SELECT doc_id, source_type, speakers AS ml FROM acorp
+                  WHERE source_type = 'transcript'))
+          UNION ALL {rx("content", A.TRANSCRIPT_SPEAKER_RE, "'transcript'", "speaker", 0.80, 2)}
+          UNION ALL
+          SELECT doc_id, source_type,
+                 array_to_string(list_transform(
+                   string_split(lower(trim(u.s)), ' '),
+                   w -> upper(w[1:1]) || w[2:]), ' ') AS actor_name,
+                 'speaker', 0.75, 2, u.idx
+          FROM (
+            SELECT doc_id, source_type,
+                   unnest(list_transform(range(1, len(ml) + 1),
+                          i -> struct_pack(idx := i, s := ml[i::int]))) AS u
+            FROM (
+              SELECT doc_id, source_type,
+                     regexp_extract_all(content,
+                       '{q(A.BOOK_SPEAKER_RE)}', 1) AS ml
+              FROM acorp WHERE source_type = 'book'))
+          UNION ALL
+          SELECT doc_id, source_type, trim(creator), 'author', 0.92, 1, 1
+          FROM acorp WHERE source_type = 'note'),
+        valid AS (
+          SELECT * FROM raw_recs
+          WHERE len(actor_name) >= 2
+            AND lower(actor_name) NOT IN ({skip})
+            AND (
+              regexp_matches(list_extract(
+                regexp_split_to_array(actor_name, '\\s+'), 1), '^[A-Z]')
+              OR (list_extract(regexp_split_to_array(actor_name, '\\s+'), 1)
+                    = upper(list_extract(
+                        regexp_split_to_array(actor_name, '\\s+'), 1))
+                  AND regexp_matches(list_extract(
+                        regexp_split_to_array(actor_name, '\\s+'), 1),
+                        '[A-Za-z]')))),
+        unsuppressed AS (
+          SELECT * FROM valid v
+          WHERE NOT (v.role = 'speaker' AND v.sec = 3 AND EXISTS (
+            SELECT 1 FROM valid s
+            WHERE s.doc_id = v.doc_id AND s.actor_name = v.actor_name
+              AND s.role = 'speaker' AND s.sec = 2))),
+        ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id, lower(actor_name), role
+                   ORDER BY confidence DESC, sec ASC, idx ASC) AS rn
+          FROM unsuppressed)
+        SELECT doc_id AS document_id, source_type, actor_name, role,
+               confidence::double AS confidence
+        FROM ranked WHERE rn = 1
+    """
 
 
 def _factcheck_verdicts_sql() -> str:
@@ -2437,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
         "policy_positions": _policy_positions_sql(),
         "position_followthrough": _followthrough_sql(),
         "factcheck_verdicts": _factcheck_verdicts_sql(),
+        "doc_actors": _doc_actors_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,
