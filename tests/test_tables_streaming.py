@@ -202,3 +202,46 @@ def test_processing_time_trigger_merges(spark, tmp_path):
     finally:
         q.stop()
     assert {r["id"] for r in cat.read("raw").collect()} == {"x"}
+
+
+def test_iceberg_ddl_and_merge_emitters():
+    """VERDICT r1 rows 9-10: the string emitters mirror the reference's
+    DDL/MERGE shapes (stream_write_raw_exactly_once.py:52-74,
+    upsert_enriched.py:170-195)."""
+    from neuronews_spark.sources.tables import iceberg_ddl, iceberg_merge_sql
+
+    ddl = iceberg_ddl("db.raw", "id BIGINT, ts TIMESTAMP", "days(ts)")
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS db.raw (id BIGINT, ts TIMESTAMP)")
+    assert "USING iceberg" in ddl and "PARTITIONED BY (days(ts))" in ddl
+    assert "'write.parquet.compression-codec'='snappy'" in ddl
+    assert "'write.distribution-mode'='hash'" in ddl
+
+    m = iceberg_merge_sql("db.enriched", "id", ["id", "title", "version"])
+    assert "MERGE INTO db.enriched t USING updates s ON t.id = s.id" in m
+    # the key column is never in the UPDATE SET list
+    assert "t.id = s.id " in m and "SET t.title = s.title, t.version = s.version" in m
+    assert "INSERT (id, title, version) VALUES (s.id, s.title, s.version)" in m
+
+
+def test_apply_write_distribution_clusters_and_orders(spark):
+    """Local write-distribution analog: hash partitioning on the
+    distribution column + sortWithinPartitions (upsert_enriched.py:62-64)."""
+    from pyspark.sql import functions as F
+
+    from neuronews_spark.sources.tables import apply_write_distribution
+
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("day"), (F.lit(199) - F.col("id")).alias("k")
+    )
+    out = apply_write_distribution(df, "day", ["k"], num_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    parts = out.select("day", "k").rdd.glom().collect()
+    for rows in parts:
+        ks = [r["k"] for r in rows]
+        assert ks == sorted(ks)  # ordered within every partition
+        # all rows for one day land in one partition (hash clustering)
+    day_parts = {}
+    for i, rows in enumerate(parts):
+        for r in rows:
+            day_parts.setdefault(r["day"], set()).add(i)
+    assert all(len(s) == 1 for s in day_parts.values())
