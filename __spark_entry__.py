@@ -1294,7 +1294,9 @@ def q_position_followthrough(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.position_tracker import followthrough
 
-    pos = _positions_df(spark, sf)
+    # the tracker reads positions twice (distinct (actor,topic) dim +
+    # the final fan-out join); pin the 8 s extraction once
+    pos = _positions_df(spark, sf).persist()
     d = _t(spark, sf, "documents")
     arts = d.filter(F.col("doc_id") % 12 == 1).select(
         F.col("doc_id").alias("article_id"),

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "doc_embeddings",
     "text_srp_near_dups",
     "doc_claims",
+    "claim_conflicts",
+    "position_followthrough",
+    "doc_actors",
     "entity_resolution",
 ]
 

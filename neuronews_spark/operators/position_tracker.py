@@ -135,33 +135,40 @@ def followthrough(
 ) -> DataFrame:
     """One record per (position, qualifying article) — the reference's
     nested driver loops (position_tracker.py:147-196) as a broadcast
-    nested-loop join + sentence window."""
-    pos = F.broadcast(
-        positions.select(
-            F.col(pos_id_col).alias("position_id"),
-            F.col(actor_col).alias("actor"),
-            F.col(topic_col).alias("topic"),
-        )
+    nested-loop join + sentence window.
+
+    The containment predicates and the best-sentence classification
+    depend only on (actor, topic), never on the position row itself, so
+    the expensive work runs once per DISTINCT (actor, topic) × article
+    and fans back out to positions with one equi-join at the end — at
+    sf0.1 that cut the query from positions×articles (1.7M predicate
+    evaluations) to actors×articles (~3k)."""
+    pos = positions.select(
+        F.col(pos_id_col).alias("position_id"),
+        F.col(actor_col).alias("actor"),
+        F.col(topic_col).alias("topic"),
     )
+    dim = F.broadcast(pos.select("actor", "topic").distinct())
     art = articles.select(
         F.col(art_id_col).alias("article_id"), F.col(content_col).alias("content")
     ).filter(F.col(content_col).isNotNull() & (F.col(content_col) != ""))
     matched = art.join(
-        pos,
+        dim,
         actor_mentioned(F.col("content"), F.col("actor"))
         & topic_mentioned(F.col("content"), F.col("topic")),
     )
 
     sents = matched.select(
-        "position_id",
-        "article_id",
         "actor",
+        "topic",
+        "article_id",
         F.posexplode(split_sentences(F.col("content"))).alias("idx", "sentence"),
     ).filter(actor_mentioned(F.col("sentence"), F.col("actor")))
     scored = (
         sents.withColumn("_c", classify_sentence(F.col("sentence")))
         .select(
-            "position_id",
+            "actor",
+            "topic",
             "article_id",
             "idx",
             "sentence",
@@ -170,31 +177,30 @@ def followthrough(
         )
         .filter(F.col("conf") > 0.30)  # nothing beats the no_signal floor
     )
-    w = Window.partitionBy("position_id", "article_id").orderBy(
+    w = Window.partitionBy("actor", "topic", "article_id").orderBy(
         F.col("conf").desc(), F.col("idx").asc()
     )
     best = (
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .select("position_id", "article_id", "update_type", "sentence", "conf")
+        .select("actor", "topic", "article_id", "update_type", "sentence", "conf")
     )
-    return (
-        matched.select("position_id", "article_id", "content")
-        .join(best, ["position_id", "article_id"], "left")
-        .select(
-            update_id(F.col("position_id"), F.col("article_id").cast("string")).alias(
-                "update_id"
-            ),
-            "position_id",
-            "article_id",
-            F.coalesce("update_type", F.lit("no_signal")).alias("update_type"),
-            F.substring(
-                F.coalesce(F.col("sentence"), F.substring(F.col("content"), 1, 200)),
-                1,
-                500,
-            ).alias("evidence_text"),
-            F.round(F.coalesce("conf", F.lit(0.30)), 4).alias("confidence"),
-        )
+    per_pair = matched.select("actor", "topic", "article_id", "content").join(
+        best, ["actor", "topic", "article_id"], "left"
+    )
+    return per_pair.join(pos, ["actor", "topic"]).select(
+        update_id(F.col("position_id"), F.col("article_id").cast("string")).alias(
+            "update_id"
+        ),
+        "position_id",
+        "article_id",
+        F.coalesce("update_type", F.lit("no_signal")).alias("update_type"),
+        F.substring(
+            F.coalesce(F.col("sentence"), F.substring(F.col("content"), 1, 200)),
+            1,
+            500,
+        ).alias("evidence_text"),
+        F.round(F.coalesce("conf", F.lit(0.30)), 4).alias("confidence"),
     )
 
 
