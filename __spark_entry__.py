@@ -1151,6 +1151,78 @@ def q_doc_actors(spark: SparkSession, sf: str) -> DataFrame:
     ).drop("entity_id")
 
 
+def q_am_claims_dataset(spark: SparkSession, sf: str) -> DataFrame:
+    # build_am_dataset.py:677-831 — templated labelled examples, per-text
+    # occurrence cap, hash 70/15/15 split (order-free pivot documented in
+    # the operator)
+    _prep(spark)
+    from neuronews_spark.operators.dataset_builder import (
+        assign_split,
+        cap_per_text,
+        instantiate,
+    )
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("ex_id"))
+    ds = cap_per_text(instantiate(d))
+    st = F.element_at(
+        F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+        (F.col("ex_id") % 7 + 1).cast("int"),
+    )
+    return ds.select(
+        "ex_id",
+        "text",
+        st.alias("source_type"),
+        "topic",
+        "is_claim",
+        "stance",
+        "frames",
+        assign_split(F.col("ex_id")).alias("split"),
+    )
+
+
+def q_am_iaa_kappa(spark: SparkSession, sf: str) -> DataFrame:
+    # build_am_dataset.py:779-810,893-902 — the 500-example train subset
+    # gets a simulated second annotator (claims at 87.5% agreement,
+    # stance at 84%) and Cohen's kappa per task
+    _prep(spark)
+    from neuronews_spark.operators.dataset_builder import (
+        STANCE_LABELS,
+        assign_split,
+        cap_per_text,
+        cohen_kappa,
+        instantiate,
+        second_annotator,
+    )
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("ex_id"))
+    ds = cap_per_text(instantiate(d)).withColumn(
+        "split", assign_split(F.col("ex_id"))
+    )
+    sub = (
+        ds.filter(F.col("split") == "train").orderBy("ex_id").limit(500)
+    ).persist()
+    claims = sub.select(
+        F.col("is_claim").cast("string").alias("a1"),
+        second_annotator(
+            F.col("is_claim").cast("string"), F.col("ex_id"), ["0", "1"], 87
+        ).alias("a2"),
+    )
+    stance = sub.select(
+        F.col("stance").alias("a1"),
+        second_annotator(
+            F.col("stance"), F.col("ex_id"), STANCE_LABELS, 84
+        ).alias("a2"),
+    )
+    out = cohen_kappa(claims, "a1", "a2").select(
+        F.lit("claims").alias("task"), "n", "po", "pe", "kappa"
+    ).unionByName(
+        cohen_kappa(stance, "a1", "a2").select(
+            F.lit("stance").alias("task"), "n", "po", "pe", "kappa"
+        )
+    )
+    return out
+
+
 # Fact-check ratings corpus: 12 planted ClaimReview textualRating
 # strings covering every normalisation branch (exact sets, each
 # partial-match fallback group, unverified) plus whitespace/case noise.
@@ -1458,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_followthrough": q_position_followthrough,
         "factcheck_verdicts": q_factcheck_verdicts,
         "doc_actors": q_doc_actors,
+        "am_claims_dataset": q_am_claims_dataset,
+        "am_iaa_kappa": q_am_iaa_kappa,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2269,6 +2343,130 @@ def _followthrough_sql() -> str:
     )
 
 
+def _am_dataset_ctes() -> str:
+    """build_am_dataset.py mirror CTEs (no WITH): hash-indexed template
+    instantiation with chained regexp_replace fills, the ≤4-per-text
+    window cap, and the hash-range split.  Ends with ``am_split``."""
+    from neuronews_spark.operators import dataset_builder as D
+
+    def h(expr: str, salt: int) -> str:
+        return (f"(({expr}) * {2654435761 + salt * 6700417} "
+                f"+ {salt * 40503 + 17}) % 2147483648")
+
+    n = len(D.TEMPLATES)
+    tmpl = ", ".join("'" + t[0].replace("'", "''") + "'" for t in D.TEMPLATES)
+    claims = ", ".join(str(t[1]) for t in D.TEMPLATES)
+    stances = ", ".join("'" + t[2] + "'" for t in D.TEMPLATES)
+    frames = ", ".join("'" + ",".join(t[3]) + "'" for t in D.TEMPLATES)
+    pools = ", ".join(
+        "["
+        + ", ".join(
+            "'" + v.replace("'", "''") + "'"
+            for v in D.TOPICS.get(t[4], D.TOPICS["political"])
+        )
+        + "]"
+        for t in D.TEMPLATES
+    )
+    text = f"([{tmpl}])[_idx + 1]"
+    for salt, (key, values) in enumerate(D.VALUE_BANKS.items(), start=1):
+        vals = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+        text = (
+            f"regexp_replace({text}, '\\{{{key}\\}}', "
+            f"([{vals}])[(({h('ex_id', salt)}) % {len(values)})::int + 1], 'g')"
+        )
+    return f"""
+        am_base AS (
+          SELECT doc_id AS ex_id,
+                 (({h('doc_id', 0)}) % {n})::int AS _idx
+          FROM documents),
+        am_inst AS MATERIALIZED (
+          SELECT ex_id,
+                 {text} AS text,
+                 ([{claims}])[_idx + 1] AS is_claim,
+                 ([{stances}])[_idx + 1] AS stance,
+                 ([{frames}])[_idx + 1] AS frames,
+                 ([{pools}])[_idx + 1] AS _pool
+          FROM am_base),
+        am_topic AS (
+          SELECT ex_id, text, is_claim, stance, frames,
+                 _pool[(({h('ex_id', 99)}) % len(_pool))::int + 1] AS topic
+          FROM am_inst),
+        am_cap AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY text ORDER BY ex_id) AS _rn
+            FROM am_topic)
+          WHERE _rn <= {D.MAX_PER_TEXT}),
+        am_split AS (
+          SELECT ex_id, text, is_claim, stance, frames, topic,
+                 CASE WHEN ({h('ex_id', 7)}) % 100 < {D.SPLIT_TRAIN} THEN 'train'
+                      WHEN ({h('ex_id', 7)}) % 100 < {D.SPLIT_VAL} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM am_cap)
+    """
+
+
+def _am_iaa_kappa_sql() -> str:
+    """Cohen's kappa per task over the first-500 train subset, annotator 2
+    simulated by the same hash rules as the operator."""
+    from neuronews_spark.operators import dataset_builder as D
+
+    def h(expr: str, salt: int) -> str:
+        return (f"(({expr}) * {2654435761 + salt * 6700417} "
+                f"+ {salt * 40503 + 17}) % 2147483648")
+
+    stances = ", ".join("'" + s + "'" for s in D.STANCE_LABELS)
+
+    def ann2(label: str, label_list: str, pct: int) -> str:
+        return (
+            f"CASE WHEN ({h('ex_id', 13)}) % 100 < {pct} THEN {label} "
+            f"ELSE list_filter([{label_list}], x -> x <> {label})"
+            f"[(({h('ex_id', 23)}) % (len([{label_list}]) - 1))::int + 1] END"
+        )
+
+    def kappa(pairs_cte: str, task: str) -> str:
+        return f"""
+          SELECT '{task}' AS task, n,
+                 round(po, 6) AS po, round(pe, 6) AS pe,
+                 round((po - pe) / (1 - pe), 6) AS kappa
+          FROM (
+            SELECT (SELECT count(*) FROM {pairs_cte}) AS n,
+                   (SELECT sum(CASE WHEN a1 = a2 THEN 1 ELSE 0 END)::double
+                           / count(*) FROM {pairs_cte}) AS po,
+                   (SELECT sum(m.ca * m.cb)::double
+                           / ((SELECT count(*) FROM {pairs_cte})
+                              * (SELECT count(*) FROM {pairs_cte}))
+                    FROM (
+                      SELECT coalesce(x.ca, 0) AS ca, coalesce(y.cb, 0) AS cb
+                      FROM (SELECT a1 AS label, count(*) AS ca
+                            FROM {pairs_cte} GROUP BY 1) x
+                      FULL JOIN (SELECT a2 AS label, count(*) AS cb
+                                 FROM {pairs_cte} GROUP BY 1) y
+                      USING (label)) m) AS pe)
+        """
+
+    return (
+        "WITH "
+        + _am_dataset_ctes()
+        + f"""
+        , am_sub AS MATERIALIZED (
+          SELECT * FROM am_split WHERE split = 'train'
+          ORDER BY ex_id LIMIT 500),
+        pc AS MATERIALIZED (
+          SELECT ex_id, is_claim::varchar AS a1,
+                 {ann2("is_claim::varchar", "'0', '1'", 87)} AS a2
+          FROM am_sub),
+        ps AS MATERIALIZED (
+          SELECT ex_id, stance AS a1,
+                 {ann2("stance", stances, 84)} AS a2
+          FROM am_sub)
+        {kappa('pc', 'claims')}
+        UNION ALL
+        {kappa('ps', 'stance')}
+    """
+    )
+
+
 def _doc_actors_sql() -> str:
     """metadata.py mirror: per-type sections as UNION ALL branches with a
     global emission order (section rank, match ordinality), the
@@ -2632,6 +2830,14 @@ def oracle_sql() -> dict[str, str]:
         "position_followthrough": _followthrough_sql(),
         "factcheck_verdicts": _factcheck_verdicts_sql(),
         "doc_actors": _doc_actors_sql(),
+        "am_claims_dataset": "WITH " + _am_dataset_ctes() + """
+            SELECT ex_id, text,
+                   (['news', 'paper', 'transcript', 'blog', 'note', 'web',
+                     'book'])[(ex_id % 7)::int + 1] AS source_type,
+                   topic, is_claim, stance, frames, split
+            FROM am_split
+        """,
+        "am_iaa_kappa": _am_iaa_kappa_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,
