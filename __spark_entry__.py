@@ -1151,6 +1151,42 @@ def q_doc_actors(spark: SparkSession, sf: str) -> DataFrame:
     ).drop("entity_id")
 
 
+# Frame-classifier corpus: topical suffixes per frame; docs ≡6,7 (mod 9)
+# use the bare template so the no-specific-frame → other=0.70 branch is
+# reachable (the body text's 'data' token otherwise always lights the
+# scientific frame); t8 plants a cross-frame tie resolved by label order.
+_FRAME_SENTENCES = [
+    "markets rallied as tax revenue grew",
+    "the army repelled the attack at the border",
+    "refugee aid and shelter for the vulnerable",
+    "the court issued a ruling on the lawsuit",
+    "parliament vote on the coalition government",
+    "the study data shows a clinical correlation",
+    "community art and music festival",
+    "nothing topical in this sentence",
+    "the tax attack debate continues",
+]
+
+
+def q_doc_frames(spark: SparkSession, sf: str) -> DataFrame:
+    # frames.py:103-127 — 7-frame keyword-density scores + dominant
+    _prep(spark)
+    from neuronews_spark.operators.frames import classify_frames
+
+    d = _t(spark, sf, "documents")
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in _FRAME_SENTENCES]),
+        (F.col("doc_id") % 9 + 1).cast("int"),
+    )
+    corpus = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 9 >= 6, tmpl)
+        .otherwise(F.concat_ws(" ", F.col("text"), tmpl))
+        .alias("text"),
+    )
+    return classify_frames(corpus)
+
+
 def q_am_claims_dataset(spark: SparkSession, sf: str) -> DataFrame:
     # build_am_dataset.py:677-831 — templated labelled examples, per-text
     # occurrence cap, hash 70/15/15 split (order-free pivot documented in
@@ -1532,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_actors": q_doc_actors,
         "am_claims_dataset": q_am_claims_dataset,
         "am_iaa_kappa": q_am_iaa_kappa,
+        "doc_frames": q_doc_frames,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2343,6 +2380,55 @@ def _followthrough_sql() -> str:
     )
 
 
+def _doc_frames_sql() -> str:
+    """frames.py:103-127 mirror: distinct word sets, per-frame
+    list_intersect step scores, other-gate, struct-max dominant."""
+    from neuronews_spark.operators import frames as FR
+
+    tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _FRAME_SENTENCES)
+    # ::double everywhere — DuckDB parses float literals as DECIMAL,
+    # whose exact arithmetic diverges from the engine's IEEE doubles
+    # (0.15 + 3*0.20 is 0.7500000000000001 in binary)
+    score_exprs = ",\n             ".join(
+        f"least({FR.CAP}::double, {FR.BASE}::double + len(list_intersect(words, ["
+        + ", ".join("'" + k + "'" for k in kws)
+        + f"])) * {FR.STEP}::double) AS f_{lbl}"
+        for lbl, kws in FR.FRAME_KEYWORDS.items()
+    )
+    specific = [f"f_{lbl}" for lbl in FR.FRAME_KEYWORDS]
+    structs = ", ".join(
+        f"struct_pack(score := f_{lbl}, neg_idx := {-i}, label := '{lbl}')"
+        for i, lbl in enumerate(FR.FRAME_LABELS)
+    )
+    return f"""
+        WITH fcorp AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 >= 6
+                      THEN ([{tmpl}])[(doc_id % 9)::int + 1]
+                      ELSE text || ' ' || ([{tmpl}])[(doc_id % 9)::int + 1]
+                 END AS text
+          FROM documents),
+        fw AS (
+          SELECT doc_id,
+                 list_distinct(regexp_extract_all(lower(text), '\\w+'))
+                   AS words
+          FROM fcorp),
+        fs AS (
+          SELECT doc_id,
+             {score_exprs}
+          FROM fw),
+        fo AS (
+          SELECT *,
+                 CASE WHEN greatest({", ".join(specific)}) < {FR.OTHER_GATE}::double
+                      THEN {FR.OTHER_HIGH}::double
+                      ELSE {FR.OTHER_LOW}::double END AS f_other
+          FROM fs)
+        SELECT doc_id, {", ".join("f_" + l for l in FR.FRAME_LABELS)},
+               list_aggregate([{structs}], 'max').label AS dominant
+        FROM fo
+    """
+
+
 def _am_dataset_ctes() -> str:
     """build_am_dataset.py mirror CTEs (no WITH): hash-indexed template
     instantiation with chained regexp_replace fills, the ≤4-per-text
@@ -2838,6 +2924,7 @@ def oracle_sql() -> dict[str, str]:
             FROM am_split
         """,
         "am_iaa_kappa": _am_iaa_kappa_sql(),
+        "doc_frames": _doc_frames_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,
