@@ -21,7 +21,7 @@ Both are pure Column expressions mirrored by the DuckDB driver oracle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # factcheck.py:57-74
