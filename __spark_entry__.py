@@ -1487,6 +1487,38 @@ def q_claim_conflicts(spark: SparkSession, sf: str) -> DataFrame:
     return detect_conflicts(claims, explicit)
 
 
+def _controversy(spark: SparkSession, sf: str):
+    from neuronews_spark.operators.conflicts import (
+        controversy_graph,
+        detect_conflicts,
+    )
+
+    claims = _conflict_claims(spark, sf)
+    a = claims.select(F.col("claim_id").alias("claim_id_a"), "topic")
+    b = claims.select(F.col("claim_id").alias("claim_id_b"), "topic")
+    explicit = (
+        a.join(b, "topic")
+        .filter(
+            (F.col("claim_id_a") < F.col("claim_id_b"))
+            & ((F.col("claim_id_a") + F.col("claim_id_b")) % 7 == 0)
+        )
+        .select("claim_id_a", "claim_id_b")
+    )
+    return controversy_graph(detect_conflicts(claims, explicit), claims)
+
+
+def q_controversy_nodes(spark: SparkSession, sf: str) -> DataFrame:
+    # conflict_graph.py:329-434 — force-directed controversy graph nodes
+    _prep(spark)
+    return _controversy(spark, sf)[0]
+
+
+def q_controversy_edges(spark: SparkSession, sf: str) -> DataFrame:
+    # conflict_graph.py:418-424 — the top-60 conflict edges with severity
+    _prep(spark)
+    return _controversy(spark, sf)[1]
+
+
 def q_claim_attribution(spark: SparkSession, sf: str) -> DataFrame:
     # attribution.py:160-178 — unsourced-assertion detection per claim,
     # content-type-aware; pure Column regexp chain (no UDF)
@@ -1562,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_attribution": q_claim_attribution,
         "outlet_transparency": q_outlet_transparency,
         "claim_conflicts": q_claim_conflicts,
+        "controversy_nodes": q_controversy_nodes,
+        "controversy_edges": q_controversy_edges,
         "policy_positions": q_policy_positions,
         "position_followthrough": q_position_followthrough,
         "factcheck_verdicts": q_factcheck_verdicts,
@@ -2075,11 +2109,13 @@ def _attribution_ctes() -> str:
     """
 
 
-def _claim_conflicts_sql() -> str:
-    """conflict_graph.py mirror: the planted conflict corpus → polarity,
-    stopword-filtered term frequencies, inverted-index cosine, explicit
-    pair rule, and the exact direct/implied decision tree.  All numeric
-    inputs are exact small integers, so sim/round agree bit-for-bit."""
+def _claim_conflicts_ctes() -> str:
+    """conflict_graph.py mirror CTEs (no WITH): the planted conflict
+    corpus → polarity, stopword-filtered term frequencies,
+    inverted-index cosine, explicit pair rule, and the exact
+    direct/implied decision tree.  All numeric inputs are exact small
+    integers, so sim/round agree bit-for-bit.  Ends with
+    ``conflicts_out``."""
     from neuronews_spark.operators import conflicts as C
 
     tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _CONFLICT_TEMPLATES)
@@ -2088,7 +2124,7 @@ def _claim_conflicts_sql() -> str:
     pos = C.POS_RE.replace("'", "''")
     neg = C.NEG_RE.replace("'", "''")
     return f"""
-        WITH cl AS MATERIALIZED (
+        cl AS MATERIALIZED (
           SELECT doc_id AS claim_id,
                  ([{tmpl}])[(doc_id % 5)::int + 1] || ' ' ||
                    coalesce(array_to_string(
@@ -2153,11 +2189,68 @@ def _claim_conflicts_sql() -> str:
                         OR pol_a * pol_b = -1) THEN 'implied'
                    WHEN explicit AND sim >= 0.30 THEN 'implied'
                  END AS conflict_type
-          FROM sims)
-        SELECT ca AS claim_id_a, cb AS claim_id_b, conflict_type,
-               sim AS similarity_score, source_type_a, source_type_b, topic
-        FROM typed WHERE conflict_type IS NOT NULL
+          FROM sims),
+        conflicts_out AS (
+          SELECT ca AS claim_id_a, cb AS claim_id_b, conflict_type,
+                 sim AS similarity_score, source_type_a, source_type_b, topic
+          FROM typed WHERE conflict_type IS NOT NULL)
     """
+
+
+def _claim_conflicts_sql() -> str:
+    return "WITH " + _claim_conflicts_ctes() + "\n        SELECT * FROM conflicts_out"
+
+
+def _controversy_nodes_sql() -> str:
+    """conflict_graph.py:329-434 mirror: top-limit conflicts (sim desc
+    with the documented id tiebreak), a-before-b node emission order,
+    first-introduction dedup, claim attrs joined back."""
+    return (
+        "WITH "
+        + _claim_conflicts_ctes()
+        + """
+        , topc AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                     ORDER BY similarity_score DESC, claim_id_a, claim_id_b
+                   ) AS rk
+            FROM conflicts_out)
+          WHERE rk <= 60),
+        sides AS (
+          SELECT rk * 2 AS ord, claim_id_a AS cid, topic, conflict_type
+          FROM topc
+          UNION ALL
+          SELECT rk * 2 + 1, claim_id_b, topic, conflict_type FROM topc),
+        firsts AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY cid ORDER BY ord) AS rn
+            FROM sides)
+          WHERE rn = 1)
+        SELECT f.cid AS id, c.source_name AS label, c.source_type,
+               f.topic, f.conflict_type, 0.5::double AS confidence
+        FROM firsts f JOIN cl c ON c.claim_id = f.cid
+    """
+    )
+
+
+def _controversy_edges_sql() -> str:
+    return (
+        "WITH "
+        + _claim_conflicts_ctes()
+        + """
+        , topc AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                     ORDER BY similarity_score DESC, claim_id_a, claim_id_b
+                   ) AS rk
+            FROM conflicts_out)
+          WHERE rk <= 60)
+        SELECT claim_id_a AS source, claim_id_b AS target,
+               round(similarity_score, 3) AS severity,
+               'contradicts' AS relation, conflict_type
+        FROM topc
+    """
+    )
 
 
 def _position_ctes() -> str:
@@ -2912,6 +3005,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "outlet_transparency": _outlet_transparency_sql(),
         "claim_conflicts": _claim_conflicts_sql(),
+        "controversy_nodes": _controversy_nodes_sql(),
+        "controversy_edges": _controversy_edges_sql(),
         "policy_positions": _policy_positions_sql(),
         "position_followthrough": _followthrough_sql(),
         "factcheck_verdicts": _factcheck_verdicts_sql(),

@@ -199,6 +199,80 @@ def detect_conflicts(
     )
 
 
+def controversy_graph(
+    conflicts: DataFrame,
+    claims: DataFrame,
+    limit: int = 60,
+) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) for the controversy endpoints
+    (conflict_graph.py:329-434): the top-``limit`` conflicts by
+    similarity feed a force-directed graph — one edge per conflict, one
+    node per distinct claim carrying the topic/conflict_type of the row
+    that FIRST introduced it (the reference's dict-insertion semantics,
+    a-node before b-node within a row).
+
+    Determinism pivot: the reference orders by similarity alone, leaving
+    ties to the SQL engine; the (sim desc, claim_id_a, claim_id_b)
+    tiebreak here makes the cut and the first-introduction winner stable.
+    The limit is a TakeOrdered (no global sort materialisation); node
+    dedup is one window over ≤ 2·limit rows."""
+    from pyspark.sql import Window
+
+    order = [F.col("similarity_score").desc(), "claim_id_a", "claim_id_b"]
+    ranked = (
+        conflicts.withColumn("_rk", F.row_number().over(Window.orderBy(*order)))
+        .filter(F.col("_rk") <= limit)
+    )
+    edges = ranked.select(
+        F.col("claim_id_a").alias("source"),
+        F.col("claim_id_b").alias("target"),
+        F.round("similarity_score", 3).alias("severity"),
+        F.lit("contradicts").alias("relation"),
+        "conflict_type",
+    )
+    sides = ranked.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("_rk") * 2).alias("ord"),
+                    F.col("claim_id_a").alias("cid"),
+                    F.col("topic").alias("topic"),
+                    F.col("conflict_type").alias("conflict_type"),
+                ),
+                F.struct(
+                    (F.col("_rk") * 2 + 1).alias("ord"),
+                    F.col("claim_id_b").alias("cid"),
+                    F.col("topic").alias("topic"),
+                    F.col("conflict_type").alias("conflict_type"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    firsts = (
+        sides.withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("cid").orderBy("ord"))
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "ord")
+    )
+    nodes = firsts.join(
+        claims.select(
+            F.col("claim_id").alias("cid"),
+            F.col("source_name").alias("label"),
+            "source_type",
+        ),
+        "cid",
+    ).select(
+        F.col("cid").alias("id"),
+        "label",
+        "source_type",
+        "topic",
+        "conflict_type",
+        F.lit(0.5).alias("confidence"),  # conflict_graph.py:411 default
+    )
+    return nodes, edges
+
+
 # ----------------------------------------------------------------------
 # Python kernel mirror (differential tests only)
 # ----------------------------------------------------------------------

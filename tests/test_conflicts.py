@@ -89,3 +89,32 @@ def test_spark_matches_kernel(spark):
             if res:
                 expected[(a[0], b[0])] = res
     assert got == expected and len(expected) > 0
+
+
+def test_controversy_graph_first_introduction_semantics(spark):
+    """conflict_graph.py:329-434: node attrs come from the FIRST row (by
+    sim desc, id tiebreak) that introduces the claim, a-node before
+    b-node; edges carry round-3 severity."""
+    from neuronews_spark.operators.conflicts import controversy_graph
+
+    conflicts = spark.createDataFrame(
+        [
+            (1, 2, "direct", 0.95, "news", "blog", "t1"),
+            (2, 3, "implied", 0.70, "blog", "paper", "t2"),
+            (4, 5, "implied", 0.66666, "news", "news", "t3"),
+        ],
+        "claim_id_a long, claim_id_b long, conflict_type string, "
+        "similarity_score double, source_type_a string, source_type_b string, "
+        "topic string",
+    )
+    claims = spark.createDataFrame(
+        [(i, "src%d" % i, "news") for i in range(1, 6)],
+        "claim_id long, source_name string, source_type string",
+    )
+    nodes, edges = controversy_graph(conflicts, claims, limit=2)
+    n = {r["id"]: (r["topic"], r["conflict_type"]) for r in nodes.collect()}
+    # limit=2 keeps the 0.95 and 0.70 rows only; claim 2 appears in both
+    # but is INTRODUCED by the higher-sim row -> topic t1/direct
+    assert n == {1: ("t1", "direct"), 2: ("t1", "direct"), 3: ("t2", "implied")}
+    e = {(r["source"], r["target"]): r["severity"] for r in edges.collect()}
+    assert e == {(1, 2): 0.95, (2, 3): 0.7}
