@@ -1187,6 +1187,30 @@ def q_doc_frames(spark: SparkSession, sf: str) -> DataFrame:
     return classify_frames(corpus)
 
 
+def q_frames_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    # argument_routes.py:1006-1127 — per-source frame distribution with
+    # the >0.60 editorial-concentration flag
+    _prep(spark)
+    from neuronews_spark.operators.frames import frames_by_source
+
+    d = _t(spark, sf, "documents")
+    # src0/src1 always get the economic template -> their avg clears the
+    # 0.60 concentration gate, so both flag branches are exercised
+    idx = F.when(
+        F.col("source").isin("src0", "src1"), F.lit(0)
+    ).otherwise((F.col("doc_id") % 9).cast("int"))
+    tmpl = F.element_at(
+        F.array(*[F.lit(t) for t in _FRAME_SENTENCES]), idx + 1
+    )
+    corpus = d.select(
+        "source",
+        F.when(idx >= 6, tmpl)
+        .otherwise(F.concat_ws(" ", F.col("text"), tmpl))
+        .alias("text"),
+    )
+    return frames_by_source(corpus)
+
+
 def q_am_claims_dataset(spark: SparkSession, sf: str) -> DataFrame:
     # build_am_dataset.py:677-831 — templated labelled examples, per-text
     # occurrence cap, hash 70/15/15 split (order-free pivot documented in
@@ -1603,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "am_claims_dataset": q_am_claims_dataset,
         "am_iaa_kappa": q_am_iaa_kappa,
         "doc_frames": q_doc_frames,
+        "frames_by_source": q_frames_by_source,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2473,9 +2498,11 @@ def _followthrough_sql() -> str:
     )
 
 
-def _doc_frames_sql() -> str:
-    """frames.py:103-127 mirror: distinct word sets, per-frame
-    list_intersect step scores, other-gate, struct-max dominant."""
+def _doc_frames_ctes(concentrate: bool = False) -> str:
+    """frames.py:103-127 mirror CTEs (no WITH): distinct word sets,
+    per-frame list_intersect step scores, other-gate.  Ends with ``fo``
+    (doc_id, source, f_* columns).  ``concentrate`` pins src0/src1 to
+    the economic template (the frames_by_source corpus variant)."""
     from neuronews_spark.operators import frames as FR
 
     tmpl = ", ".join("'" + t.replace("'", "''") + "'" for t in _FRAME_SENTENCES)
@@ -2493,21 +2520,27 @@ def _doc_frames_sql() -> str:
         f"struct_pack(score := f_{lbl}, neg_idx := {-i}, label := '{lbl}')"
         for i, lbl in enumerate(FR.FRAME_LABELS)
     )
+    idx = (
+        "(CASE WHEN source IN ('src0', 'src1') THEN 0"
+        " ELSE (doc_id % 9)::int END)"
+        if concentrate
+        else "(doc_id % 9)::int"
+    )
     return f"""
-        WITH fcorp AS (
-          SELECT doc_id,
-                 CASE WHEN doc_id % 9 >= 6
-                      THEN ([{tmpl}])[(doc_id % 9)::int + 1]
-                      ELSE text || ' ' || ([{tmpl}])[(doc_id % 9)::int + 1]
+        fcorp AS (
+          SELECT doc_id, source,
+                 CASE WHEN {idx} >= 6
+                      THEN ([{tmpl}])[{idx} + 1]
+                      ELSE text || ' ' || ([{tmpl}])[{idx} + 1]
                  END AS text
           FROM documents),
         fw AS (
-          SELECT doc_id,
+          SELECT doc_id, source,
                  list_distinct(regexp_extract_all(lower(text), '\\w+'))
                    AS words
           FROM fcorp),
         fs AS (
-          SELECT doc_id,
+          SELECT doc_id, source,
              {score_exprs}
           FROM fw),
         fo AS (
@@ -2516,10 +2549,58 @@ def _doc_frames_sql() -> str:
                       THEN {FR.OTHER_HIGH}::double
                       ELSE {FR.OTHER_LOW}::double END AS f_other
           FROM fs)
+    """
+
+
+def _doc_frames_sql() -> str:
+    from neuronews_spark.operators import frames as FR
+
+    structs = ", ".join(
+        f"struct_pack(score := f_{lbl}, neg_idx := {-i}, label := '{lbl}')"
+        for i, lbl in enumerate(FR.FRAME_LABELS)
+    )
+    return (
+        "WITH "
+        + _doc_frames_ctes()
+        + f"""
         SELECT doc_id, {", ".join("f_" + l for l in FR.FRAME_LABELS)},
                list_aggregate([{structs}], 'max').label AS dominant
         FROM fo
     """
+    )
+
+
+def _frames_by_source_sql() -> str:
+    """argument_routes.py:1006-1127 mirror: per-source frame averages,
+    dominant with the FRAME_LABELS tiebreak, >0.60 concentration flag."""
+    from neuronews_spark.operators import frames as FR
+
+    avgs = ", ".join(
+        f"round(avg(f_{lbl}), 4) AS avg_{lbl}" for lbl in FR.FRAME_LABELS
+    )
+    structs = ", ".join(
+        f"struct_pack(score := avg_{lbl}, neg_idx := {-i}, label := '{lbl}')"
+        for i, lbl in enumerate(FR.FRAME_LABELS)
+    )
+    return (
+        "WITH "
+        + _doc_frames_ctes(concentrate=True)
+        + f"""
+        , fagg AS (
+          SELECT source, count(*)::bigint AS doc_count, {avgs}
+          FROM fo GROUP BY 1),
+        fbest AS (
+          SELECT *, list_aggregate([{structs}], 'max') AS best FROM fagg)
+        SELECT source,
+               {", ".join("avg_" + l for l in FR.FRAME_LABELS)},
+               doc_count,
+               best.label AS dominant,
+               best.score > {FR.CONCENTRATED_THRESHOLD}::double AS concentrated,
+               CASE WHEN best.score > {FR.CONCENTRATED_THRESHOLD}::double
+                    THEN best.label END AS concentrated_frame
+        FROM fbest
+    """
+    )
 
 
 def _am_dataset_ctes() -> str:
@@ -3020,6 +3101,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "am_iaa_kappa": _am_iaa_kappa_sql(),
         "doc_frames": _doc_frames_sql(),
+        "frames_by_source": _frames_by_source_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,

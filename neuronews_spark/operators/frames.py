@@ -133,6 +133,54 @@ def classify_frames(
     )
 
 
+CONCENTRATED_THRESHOLD = 0.60  # argument_routes.py _CONCENTRATED_THRESHOLD
+
+
+def frames_by_source(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Frame distribution per publication source
+    (argument_routes.py:1006-1127): avg score per frame (round 4),
+    doc_count, dominant frame, and the editorial-concentration flag
+    (any avg strictly above 0.60 → concentrated_frame = dominant).
+
+    Determinism pivot: the reference's dominant tiebreak inherits dict
+    fill order from an unordered SQL result; here ties go to the earlier
+    FRAME_LABELS entry, matching classify_frames.  One groupBy on the
+    source key — partial aggregation map-side, no per-source queries."""
+    scores = frame_scores(F.col(text_col))
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        *[s.alias(f"f_{lbl}") for s, lbl in zip(scores, FRAME_LABELS)],
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("doc_count"),
+        *[F.round(F.avg(f"f_{lbl}"), 4).alias(f"avg_{lbl}") for lbl in FRAME_LABELS],
+    )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"avg_{lbl}").alias("score"),
+                    F.lit(-i).alias("neg_idx"),
+                    F.lit(lbl).alias("label"),
+                )
+                for i, lbl in enumerate(FRAME_LABELS)
+            ]
+        )
+    )
+    return agg.select(
+        "source",
+        *[f"avg_{lbl}" for lbl in FRAME_LABELS],
+        "doc_count",
+        best["label"].alias("dominant"),
+        (best["score"] > CONCENTRATED_THRESHOLD).alias("concentrated"),
+        F.when(best["score"] > CONCENTRATED_THRESHOLD, best["label"]).alias(
+            "concentrated_frame"
+        ),
+    )
+
+
 # ----------------------------------------------------------------------
 # Python kernel mirror (differential tests only)
 # ----------------------------------------------------------------------

@@ -79,3 +79,34 @@ def test_spark_matches_kernel(spark):
     for i, t in enumerate(texts):
         scores, dom = frame_heuristic_py(t)
         assert got[i] == tuple(scores[l] for l in FRAME_LABELS) + (dom,), t
+
+
+def test_frames_by_source_concentration(spark):
+    """argument_routes.py:1006-1127: per-source frame averages, dominant
+    tiebreak, strict >0.60 concentration gate."""
+    from neuronews_spark.operators.frames import frames_by_source
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "market revenue profit tax"),     # economic capped 0.90
+            ("A", "market revenue tax"),            # economic 0.75
+            ("B", "market nothing"),                # economic 0.35
+            ("B", "plain words"),                   # all 0.15 -> other 0.70
+            ("C", "court ruling lawsuit"),          # legal 0.75
+            ("C", "plain words"),                   # other 0.70
+        ],
+        "source string, text string",
+    )
+    out = {r["source"]: r.asDict() for r in frames_by_source(docs).collect()}
+    a = out["A"]
+    assert a["avg_economic"] == round((0.90 + 0.75) / 2, 4)
+    assert a["dominant"] == "economic" and a["concentrated"]
+    assert a["concentrated_frame"] == "economic" and a["doc_count"] == 2
+    b = out["B"]
+    # avgs: economic (0.35+0.15)/2=0.25, other (0.12+0.70)/2=0.41 -> other
+    # dominates but 0.41 is NOT > 0.60 -> not concentrated
+    assert b["dominant"] == "other" and not b["concentrated"]
+    assert b["concentrated_frame"] is None
+    c = out["C"]
+    # legal 0.45 vs other 0.41 -> legal dominates, below the gate
+    assert c["dominant"] == "legal" and not c["concentrated"]
