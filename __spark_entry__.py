@@ -1187,6 +1187,29 @@ def q_doc_frames(spark: SparkSession, sf: str) -> DataFrame:
     return classify_frames(corpus)
 
 
+def q_model_benchmark(spark: SparkSession, sf: str) -> DataFrame:
+    # docs/model_benchmarks.md:1-24 — the held-out evaluation gate:
+    # per-source-type P/R/F1 of the heuristic claim detector against the
+    # labelled dataset, with the explicit pass threshold
+    _prep(spark)
+    from neuronews_spark.evaluation import classification_report
+    from neuronews_spark.operators.dataset_builder import cap_per_text, instantiate
+    from neuronews_spark.operators.positions import claim_score
+
+    d = _t(spark, sf, "documents").select(F.col("doc_id").alias("ex_id"))
+    ds = cap_per_text(instantiate(d))
+    st = F.element_at(
+        F.array(*[F.lit(t) for t in _SOURCE_TYPES]),
+        (F.col("ex_id") % 7 + 1).cast("int"),
+    )
+    scored = ds.select(
+        st.alias("source_type"),
+        F.col("is_claim").alias("label"),
+        (claim_score(F.col("text")) >= 0.5).cast("int").alias("pred"),
+    )
+    return classification_report(scored, "label", "pred", "source_type")
+
+
 def q_frames_by_source(spark: SparkSession, sf: str) -> DataFrame:
     # argument_routes.py:1006-1127 — per-source frame distribution with
     # the >0.60 editorial-concentration flag
@@ -1628,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "am_iaa_kappa": q_am_iaa_kappa,
         "doc_frames": q_doc_frames,
         "frames_by_source": q_frames_by_source,
+        "model_benchmark": q_model_benchmark,
         # mention_extraction / minhash_near_dups / er_lev_pairs are fully
         # oracled; the rest below are rows-only (non-SQL-expressible:
         # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
@@ -2603,6 +2627,79 @@ def _frames_by_source_sql() -> str:
     )
 
 
+def _model_benchmark_sql() -> str:
+    """model_benchmarks.md gate mirror: labelled dataset CTEs + the
+    claim-heuristic score chain (same float op order as the positions
+    oracle) → per-(source_type, class) confusion cells → P/R/F1 with the
+    0.70 pass gate.  F1 is computed from the ROUNDED p/r in both engines
+    so round(·,6) agrees."""
+    from neuronews_spark.operators import positions as P
+
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    types = ", ".join("'" + t + "'" for t in _SOURCE_TYPES)
+    score = f"""greatest(0.05, least(0.95,
+              0.5
+              + CASE WHEN regexp_matches(lower(text), '{q(P._MEASURE)}')
+                     THEN 0.20 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(text), '{q(P._YEAR)}')
+                      AND regexp_matches(lower(text), '{q(P._DATED)}')
+                     THEN 0.10 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(text), '{q(P._PAST)}')
+                     THEN 0.15 ELSE 0.0 END
+              + CASE WHEN regexp_matches(lower(text), '{q(P._INSTITUTION)}')
+                     THEN 0.10 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(text), '{q(P._HEDGE)}')
+                     THEN 0.20 ELSE 0.0 END
+              - CASE WHEN rtrim(text) LIKE '%?' THEN 0.30 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(text), '{q(P._FIRST_PERSON)}')
+                     THEN 0.15 ELSE 0.0 END
+              - CASE WHEN regexp_matches(lower(text), '{q(P._OPINION_OPENER)}')
+                     THEN 0.20 ELSE 0.0 END))"""
+    return (
+        "WITH "
+        + _am_dataset_ctes()
+        + f"""
+        , mb AS (
+          SELECT ([{types}])[(ex_id % 7)::int + 1] AS source_type,
+                 is_claim::varchar AS _l,
+                 (CASE WHEN {score} >= 0.5 THEN 1 ELSE 0 END)::varchar AS _p
+          FROM am_split),
+        mlong AS (
+          SELECT source_type,
+                 unnest(list_distinct([_l, _p])) AS class, _l, _p
+          FROM mb),
+        magg AS (
+          SELECT source_type, class,
+                 sum(CASE WHEN _l = class AND _p = class THEN 1 ELSE 0 END)
+                   ::bigint AS tp,
+                 sum(CASE WHEN _p = class AND _l <> class THEN 1 ELSE 0 END)
+                   ::bigint AS fp,
+                 sum(CASE WHEN _l = class AND _p <> class THEN 1 ELSE 0 END)
+                   ::bigint AS fn,
+                 sum(CASE WHEN _l = class THEN 1 ELSE 0 END)::bigint AS support
+          FROM mlong GROUP BY 1, 2),
+        mpr AS (
+          SELECT *,
+                 round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)
+                       ELSE 0.0 END, 6) AS precision,
+                 round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)
+                       ELSE 0.0 END, 6) AS recall
+          FROM magg),
+        mf1 AS (
+          SELECT *,
+                 round(CASE WHEN precision + recall > 0
+                       THEN 2 * precision * recall / (precision + recall)
+                       ELSE 0.0 END, 6) AS f1
+          FROM mpr)
+        SELECT source_type, class, tp, fp, fn, support,
+               precision, recall, f1, f1 >= 0.70::double AS passes
+        FROM mf1
+    """
+    )
+
+
 def _am_dataset_ctes() -> str:
     """build_am_dataset.py mirror CTEs (no WITH): hash-indexed template
     instantiation with chained regexp_replace fills, the ≤4-per-text
@@ -3102,6 +3199,7 @@ def oracle_sql() -> dict[str, str]:
         "am_iaa_kappa": _am_iaa_kappa_sql(),
         "doc_frames": _doc_frames_sql(),
         "frames_by_source": _frames_by_source_sql(),
+        "model_benchmark": _model_benchmark_sql(),
         "claim_evidence": _evidence_ctes()
         + """
             SELECT c_doc AS claim_doc, 0 AS claim_idx, s_doc AS ev_doc,

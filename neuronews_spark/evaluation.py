@@ -82,3 +82,50 @@ def pairwise_scores(
         "recall": recall,
         "f1": f1,
     }
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    group_col: str | None = None,
+    gate_f1: float = 0.70,
+) -> DataFrame:
+    """Per-class precision/recall/F1 (optionally per group) — the model
+    benchmark gate of the reference's held-out evaluation
+    (``/root/reference/docs/model_benchmarks.md:1-24``: per-source-type
+    P/R/F1 with an explicit pass threshold).
+
+    One grouped aggregation per (group, class): tp/fp/fn from the
+    confusion cells, zero-denominator conventions P=R=F1=0 (sklearn
+    zero_division=0).  ``passes`` applies the gate to each row's F1.
+    Pure Column math over exact integer counts — mirrored by the
+    ``model_benchmark`` driver oracle."""
+    keys = ([group_col] if group_col else []) + ["class"]
+    lbl, prd = F.col(label_col), F.col(pred_col)
+    long = df.select(
+        *([group_col] if group_col else []),
+        F.explode(
+            F.array_distinct(F.array(lbl.cast("string"), prd.cast("string")))
+        ).alias("class"),
+        lbl.cast("string").alias("_l"),
+        prd.cast("string").alias("_p"),
+    )
+    cls = F.col("class")
+    agg = long.groupBy(*keys).agg(
+        F.sum(F.when((F.col("_l") == cls) & (F.col("_p") == cls), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("_p") == cls) & (F.col("_l") != cls), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("_l") == cls) & (F.col("_p") != cls), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("_l") == cls, 1).otherwise(0)).alias("support"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    out = agg.withColumn("precision", F.round(p, 6)).withColumn("recall", F.round(r, 6))
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    return out.withColumn("f1", F.round(f1, 6)).withColumn(
+        "passes", F.col("f1") >= gate_f1
+    )

@@ -101,3 +101,34 @@ def test_spark_matches_kernel(spark):
         [(r["a1"], r["a2"]) for r in pairs.collect()]
     )
     assert row["kappa"] == round(kernel, 6)
+
+
+def test_classification_report_confusion_math(spark):
+    """model_benchmarks.md gate: confusion cells, zero-division
+    conventions, and the f1-from-rounded-p/r convention."""
+    from neuronews_spark.evaluation import classification_report
+
+    rows = [
+        ("news", 1, 1), ("news", 1, 1), ("news", 1, 0), ("news", 0, 1),
+        ("news", 0, 0),
+        ("blog", 1, 0), ("blog", 1, 0),  # blog never predicts 1
+    ]
+    df = spark.createDataFrame(rows, "source_type string, label int, pred int")
+    out = {
+        (r["source_type"], r["class"]): r.asDict()
+        for r in classification_report(
+            df, "label", "pred", "source_type"
+        ).collect()
+    }
+    n1 = out[("news", "1")]
+    assert (n1["tp"], n1["fp"], n1["fn"], n1["support"]) == (2, 1, 1, 3)
+    assert n1["precision"] == round(2 / 3, 6) and n1["recall"] == round(2 / 3, 6)
+    p = round(2 / 3, 6)
+    assert n1["f1"] == round(2 * p * p / (p + p), 6)
+    # blog class '1': predicted never -> precision 0 (zero-division), f1 0
+    b1 = out[("blog", "1")]
+    assert b1["precision"] == 0.0 and b1["recall"] == 0.0 and b1["f1"] == 0.0
+    assert b1["passes"] is False
+    # blog class '0': label never 0 -> support 0, recall 0
+    b0 = out[("blog", "0")]
+    assert b0["support"] == 0 and b0["fp"] == 2 and b0["recall"] == 0.0
