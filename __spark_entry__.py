@@ -1598,73 +1598,79 @@ def q_outlet_transparency(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry iteration order IS the driver's execution order, and the
+    # driver checks oracled entries under a wall-clock budget. Oracled
+    # queries therefore run CHEAPEST-FIRST (total spark+duckdb seconds
+    # measured at sf0.01 via scripts/check_oracles.py) so a budget cutoff
+    # drops the fewest checks; rows-only queries (non-SQL-expressible:
+    # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC —
+    # each carries a pytest oracle instead) run after every oracled one.
     return {
-        "latest_event_per_user_type": q_latest_event_per_user_type,
-        "dim_user_activity": q_dim_user_activity,
-        "duplicate_audit": q_duplicate_audit,
-        "trend_7d_moving_avg": q_trend_7d_moving_avg,
-        "top3_events_per_user": q_top3_events_per_user,
-        "cooccurrence_events": q_cooccurrence_events,
-        "sentiment_docs": q_sentiment_docs,
-        "keywords_top10": q_keywords_top10,
-        "fuzzy_sort_keys": q_fuzzy_sort_keys,
-        "exact_dup_groups": q_exact_dup_groups,
-        "token_stats": q_token_stats,
-        "lang_id": q_lang_id,
-        "fingerprint_md5": q_fingerprint_md5,
-        "token_jaccard_dups": q_token_jaccard_dups,
-        "cosine_top5": q_cosine_top5,
-        "tpch_q1": q_tpch_q1,
-        "assemble_roundtrip": q_assemble_roundtrip,
-        "tfidf_keywords": q_tfidf_keywords,
-        "order_date_enrich": q_order_date_enrich,
-        "degrees_events": q_degrees_events,
-        "embedding_near_dups": q_embedding_near_dups,
-        "dim_entity_docs": q_dim_entity_docs,
-        "doc_quality": q_doc_quality,
+        # --- oracled, ascending measured cost ---
         "bpe_token_count": q_bpe_token_count,
+        "token_stats": q_token_stats,
         "sentence_chunks": q_sentence_chunks,
-        "pattern_entities": q_pattern_entities,
-        "doc_embeddings": q_doc_embeddings,
-        "emerging_connections": q_emerging_connections,
-        "evolving_topics": q_evolving_topics,
-        "doc_claims": q_doc_claims,
-        "claim_evidence": q_claim_evidence,
-        "stance_by_source": q_stance_by_source,
-        "stance_drift": q_stance_drift,
-        "media_timestamps": q_media_timestamps,
-        "timeline_linkage": q_timeline_linkage,
-        "top_influencers": q_top_influencers,
-        "component_stats": q_component_stats,
-        "er_lev_pairs": q_er_lev_pairs,
-        "er_scale_scored_pairs": q_er_scale_scored_pairs,
-        "claim_attribution": q_claim_attribution,
-        "outlet_transparency": q_outlet_transparency,
-        "claim_conflicts": q_claim_conflicts,
-        "controversy_nodes": q_controversy_nodes,
-        "controversy_edges": q_controversy_edges,
-        "policy_positions": q_policy_positions,
-        "position_followthrough": q_position_followthrough,
         "factcheck_verdicts": q_factcheck_verdicts,
-        "doc_actors": q_doc_actors,
+        "order_date_enrich": q_order_date_enrich,
+        "media_timestamps": q_media_timestamps,
+        "top3_events_per_user": q_top3_events_per_user,
+        "fuzzy_sort_keys": q_fuzzy_sort_keys,
+        "timeline_linkage": q_timeline_linkage,
+        "dim_entity_docs": q_dim_entity_docs,
+        "duplicate_audit": q_duplicate_audit,
+        "tpch_q1": q_tpch_q1,
+        "doc_quality": q_doc_quality,
+        "degrees_events": q_degrees_events,
+        "latest_event_per_user_type": q_latest_event_per_user_type,
+        "fingerprint_md5": q_fingerprint_md5,
+        "lang_id": q_lang_id,
+        "exact_dup_groups": q_exact_dup_groups,
+        "assemble_roundtrip": q_assemble_roundtrip,
+        "emerging_connections": q_emerging_connections,
+        "keywords_top10": q_keywords_top10,
+        "dup_clusters": q_dup_clusters,
         "am_claims_dataset": q_am_claims_dataset,
-        "am_iaa_kappa": q_am_iaa_kappa,
+        "dedup_docs": q_dedup_docs,
+        "cosine_top5": q_cosine_top5,
+        "evolving_topics": q_evolving_topics,
+        "embedding_near_dups": q_embedding_near_dups,
         "doc_frames": q_doc_frames,
+        "trend_7d_moving_avg": q_trend_7d_moving_avg,
+        "claim_attribution": q_claim_attribution,
+        "dim_user_activity": q_dim_user_activity,
         "frames_by_source": q_frames_by_source,
         "model_benchmark": q_model_benchmark,
-        # mention_extraction / minhash_near_dups / er_lev_pairs are fully
-        # oracled; the rest below are rows-only (non-SQL-expressible:
-        # LSH/xxhash recall paths, KMeans, difflib pipeline, iterative CC)
-        "entity_resolution": q_entity_resolution,
+        "doc_actors": q_doc_actors,
         "mention_extraction": q_mention_extraction,
+        "controversy_edges": q_controversy_edges,
+        "cooccurrence_events": q_cooccurrence_events,
+        "tfidf_keywords": q_tfidf_keywords,
+        "doc_embeddings": q_doc_embeddings,
+        "claim_conflicts": q_claim_conflicts,
+        "doc_claims": q_doc_claims,
+        "am_iaa_kappa": q_am_iaa_kappa,
+        "sentiment_docs": q_sentiment_docs,
+        "er_scale_scored_pairs": q_er_scale_scored_pairs,
+        "controversy_nodes": q_controversy_nodes,
+        "token_jaccard_dups": q_token_jaccard_dups,
+        "component_stats": q_component_stats,
         "minhash_near_dups": q_minhash_near_dups,
+        "pattern_entities": q_pattern_entities,
+        "policy_positions": q_policy_positions,
+        "stance_by_source": q_stance_by_source,
+        "stance_drift": q_stance_drift,
+        "claim_evidence": q_claim_evidence,
+        "er_lev_pairs": q_er_lev_pairs,
+        "top_influencers": q_top_influencers,
+        "pagerank_events": q_pagerank_events,
+        "outlet_transparency": q_outlet_transparency,
+        "position_followthrough": q_position_followthrough,
+        # --- rows-only (pytest-oracled) ---
+        "entity_resolution": q_entity_resolution,
         "simhash_near_dups": q_simhash_near_dups,
         "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "srp_near_dups": q_srp_near_dups,
-        "pagerank_events": q_pagerank_events,
-        "dup_clusters": q_dup_clusters,
-        "dedup_docs": q_dedup_docs,
         "entity_relations": q_entity_relations,
         "event_clusters": q_event_clusters,
         "text_srp_near_dups": q_text_srp_near_dups,
@@ -3499,14 +3505,19 @@ def oracle_sql() -> dict[str, str]:
             ), nz AS (
               SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(len(list_intersect(a.shingles, b.shingles))::double
-                         / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-                     AS jaccard
-            FROM nz a JOIN nz b ON a.doc_id < b.doc_id
-            WHERE round(len(list_intersect(a.shingles, b.shingles))::double
-                        / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
-                  >= 0.9
+            -- inverted-index pair counting (same plan shape as the Spark
+            -- side): |A∩B| by equi-join on exploded distinct shingles,
+            -- |A∪B| = |A|+|B|-|A∩B|; avoids the O(n²) list_intersect join
+            SELECT id_a, id_b, jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(count(*)::double
+                           / (any_value(len(a.shingles)) + any_value(len(b.shingles))
+                              - count(*)), 6) AS jaccard
+              FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
+              JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
+                ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            WHERE jaccard >= 0.9
         """,
         "cosine_top5": """
             SELECT query_id, vec_id, sim, rank FROM (

@@ -60,10 +60,11 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         with_deg = ranks.join(out_deg, "node_id", "left")
-        dangling = (
-            with_deg.filter(F.col("out_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass stays IN the plan as a broadcast 1-row aggregate:
+        # a driver-side collect here would add a full job + sync barrier
+        # per iteration — at cluster scale that doubles the job count.
+        dangling = with_deg.filter(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contrib = (
             edges.join(
@@ -79,12 +80,16 @@ def pagerank(
         )
         ranks = (
             nodes.join(contrib, "node_id", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row scalar join
             .select(
                 "node_id",
                 (
                     F.lit((1.0 - alpha) / n)
                     + F.lit(alpha)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("_dangling") / F.lit(float(n))
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -64,13 +64,20 @@ def main() -> int:
         con.sql(f"create view {t} as select * from '{SF}/{t}.parquet'")
 
     failed = []
+    timings = {}
     for name in names:
         if name not in oracles:
             print(f"{name}: NO ORACLE (rows-only)")
             continue
         try:
+            import time as _time
+
+            t0 = _time.monotonic()
             sdf = queries[name](spark, SF).toPandas()
+            t1 = _time.monotonic()
             odf = con.sql(oracles[name]).df()
+            t2 = _time.monotonic()
+            timings[name] = (t1 - t0, t2 - t1)
             s, o = _canon(sdf), _canon(odf)
             if list(s.columns) != list(o.columns):
                 raise AssertionError(f"schema {list(s.columns)} != {list(o.columns)}")
@@ -84,10 +91,18 @@ def main() -> int:
                 print(s[diff_rows].head(3))
                 print(o[diff_rows].head(3))
                 raise AssertionError(f"{mism} mismatched cells")
-            print(f"{name}: OK ({len(s)} rows)")
+            st, ot = timings[name]
+            print(f"{name}: OK ({len(s)} rows) spark={st:.2f}s duckdb={ot:.2f}s")
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL — {exc}")
             failed.append(name)
+    if timings:
+        total_s = sum(t[0] for t in timings.values())
+        total_o = sum(t[1] for t in timings.values())
+        print(f"TOTAL spark={total_s:.1f}s duckdb={total_o:.1f}s")
+        worst = sorted(timings.items(), key=lambda kv: -(kv[1][0] + kv[1][1]))[:10]
+        for n, (st, ot) in worst:
+            print(f"  heavy: {n} spark={st:.2f}s duckdb={ot:.2f}s")
     spark.stop()
     if failed:
         print("FAILED:", failed)
