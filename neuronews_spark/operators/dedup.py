@@ -366,11 +366,20 @@ def srp_lsh_near_dups(
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: SRP-LSH buckets propose
     candidates, exact cosine verifies (so precision is exact; only recall
-    depends on LSH tuning). Candidates come from band-bucket joins — never
-    an all-pairs scan; oversized buckets are dropped (skew cap), as in
-    blocking. With 16 planes / 4 bands a pair at cos ≥ 0.9 (θ ≤ 0.45 rad)
-    collides in ≥1 band with p ≈ 1-(1-(1-θ/π)^4)^4 ≳ 0.97."""
-    from neuronews_spark.operators.similarity_search import cosine
+    depends on LSH tuning). Candidates never leave their bucket: each
+    band-bucket group is verified LOCALLY with one (size, dim) × (dim,
+    size) matmul inside ``applyInPandas``, and only pairs that clear the
+    threshold are emitted (then pair-deduped across bands). The shuffle
+    therefore carries O(n·bands) vector rows — never O(candidates) pair
+    rows: on a template-clustered corpus (sf0.1 text embeddings) the
+    candidate pair set is ~7M for 5k docs, so a pair-materializing verify
+    moves ~2×64 doubles × 7M through a shuffle while this plan moves 40k
+    vector rows and does the 10.7M dot products as ~0.7 GFLOP of batched
+    BLAS. Oversized buckets are dropped (skew cap, reported by callers via
+    bucket stats), as in blocking; the cap also bounds each pandas group
+    (cap² dot products ≤ 2000²·d flops, ~32 MB of sims). With 16 planes /
+    4 bands a pair at cos ≥ 0.9 (θ ≤ 0.45 rad) collides in ≥1 band with
+    p ≈ 1-(1-(1-θ/π)^4)^4 ≳ 0.97."""
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if dim_row is None:
@@ -412,49 +421,54 @@ def srp_lsh_near_dups(
             for b in range(bands)
         ]
     )
-    # candidate generation carries ONLY (bucket, id): at scale candidates
-    # outnumber vectors by orders of magnitude, so the pair shuffle must
-    # not carry 2 vectors per row (same narrow-shuffle pattern as
-    # blocking.py's candidate join — round-1 review's "the plan you'd
-    # want"). Vectors join back after pair dedup, keyed on id.
-    keyed = base.select("vid", F.explode(band_keys).alias("bucket"))
-    ok = keyed.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
-    keyed = keyed.join(ok.select("bucket"), "bucket")
-
-    cand = (
-        keyed.select("bucket", F.col("vid").alias("id_a"))
-        .join(keyed.select("bucket", F.col("vid").alias("id_b")), "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .drop("bucket")
-        .dropDuplicates(["id_a", "id_b"])
+    keyed = base.select("vid", "v", F.explode(band_keys).alias("bucket"))
+    ok = (
+        keyed.groupBy("bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("bucket")
     )
-    vecs = base.select("vid", "v")
-    pairs = (
-        cand.join(vecs.withColumnsRenamed({"vid": "id_a", "v": "v_a"}), "id_a")
-        .join(vecs.withColumnsRenamed({"vid": "id_b", "v": "v_b"}), "id_b")
+    keyed = keyed.join(ok, "bucket")
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    # Arrow-batched verify: one matmul-shaped kernel per batch instead of
-    # an interpreted zip_with/aggregate per pair (measured ~10× on the
-    # mentions kernel; the HOF cosine stays for small exact paths)
-    return pairs.select(
-        "id_a",
-        "id_b",
-        F.round(_cosine_batch_udf(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
-    ).filter(F.col("sim") >= threshold)
 
+    def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=object),
+                    "id_b": pd.Series([], dtype=object),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf["vid"].to_numpy())  # id_a < id_b via sort
+        ids = pdf["vid"].to_numpy()[order]
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])[order]
+        dots = m @ m.T
+        norms = np.linalg.norm(m, axis=1)
+        denom = np.outer(norms, norms)
+        sims = np.round(
+            np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0), 6
+        )
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "sim": sims[ia, ib][keep]}
+        )
 
-@F.pandas_udf(T.DoubleType())
-def _cosine_batch_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """Vectorized cosine for the SRP verify stage: stacks each Arrow batch
-    into (n, d) matrices, one fused multiply-sum per batch."""
-    if len(va) == 0:
-        return pd.Series([], dtype="float64")
-    a = np.stack([np.asarray(x, dtype=np.float64) for x in va])
-    b = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
-    dots = np.einsum("ij,ij->i", a, b)
-    denom = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-    out = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
-    return pd.Series(out)
+    verified = keyed.groupBy("bucket").applyInPandas(_verify_bucket, out_schema)
+    # a true pair is re-verified once per shared band — the dedup runs over
+    # verified pairs only (tiny) instead of the raw candidate fan-out;
+    # max(sim) is deterministic (sims of the same pair agree across bands)
+    return verified.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
 
 
 # ------------------------------------------------- cluster + drop losers

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from neuronews_spark.checkpoint import StageCheckpoint
 from neuronews_spark.lineage import LineageWriter
 from neuronews_spark.operators.blocking import (
+    block_stats,
     build_blocks,
     candidate_pairs,
     embedding_blocks,
@@ -61,6 +62,7 @@ class PipelineConfig:
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     max_cc_iterations: int = 30
     workdir: str | None = None  # enables stage checkpoints + lineage
+    lineage_dir: str | None = None  # lineage/metrics only, no stage parquet
     run_id: str | None = None
 
 
@@ -92,6 +94,12 @@ class EntityResolutionPipeline:
                 spark,
                 os.path.join(self.config.workdir, "lineage"),
                 run_id=self.config.run_id,
+            )
+        elif self.config.lineage_dir:
+            # observability without the stage-checkpoint IO — the mode a
+            # monitored-but-not-resumable production run uses
+            self.lineage = LineageWriter(
+                spark, self.config.lineage_dir, run_id=self.config.run_id
             )
 
     # -- stage helpers ----------------------------------------------------
@@ -152,6 +160,17 @@ class EntityResolutionPipeline:
             if self.lineage is not None:
                 self.lineage.frame(
                     "blocking", capped, "capped_block", "block_key", "block_size"
+                )
+                # block-population totals → cap hit-rate is computable from
+                # lineage alone (blocks is persisted inside candidate_pairs,
+                # so this aggregate reads the cache, not a rebuild)
+                st = block_stats(blocks).agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.max("block_size").alias("max_size"),
+                ).collect()[0]
+                self.lineage.scalar("blocking", "n_blocks", st["n_blocks"])
+                self.lineage.scalar(
+                    "blocking", "max_block_size_seen", st["max_size"]
                 )
             return pairs
 

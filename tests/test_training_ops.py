@@ -278,6 +278,57 @@ def test_srp_lsh_near_dups_recall_and_precision(spark):
     assert len(lsh) >= 0.9 * len(exact) and len(exact) >= 30
 
 
+def test_srp_bucket_verify_matches_pair_materialized_verify(spark):
+    """Differential: the bucket-local matmul verify must emit EXACTLY the
+    pairs+sims a pair-materializing exact verify over the same LSH buckets
+    emits (the round-2 plan). String ids also pin the id_a < id_b ordering
+    to Spark's binary string comparison."""
+    from neuronews_spark.operators.dedup import (
+        srp_lsh_near_dups,
+        srp_signature_udf,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((f"v{i:03d}", base[i].tolist()))
+        if i % 3 == 0:  # planted near-dups
+            noisy = base[i] + 0.03 * rng.standard_normal(16)
+            rows.append((f"w{i:03d}", noisy.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in srp_lsh_near_dups(
+            emb, "vec_id", "embedding", threshold=0.9, n_planes=16, bands=4
+        ).collect()
+    }
+
+    # reference kernel: same signatures → same buckets → materialized
+    # candidate pairs → exact cosine, all in the driver
+    sig_rows = emb.select(
+        "vec_id", srp_signature_udf(16, 16, 7)(F.col("embedding")).alias("sig")
+    ).collect()
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+    buckets: dict[str, list[str]] = {}
+    r_bits, mask = 4, (1 << 4) - 1
+    for row in sig_rows:
+        for b in range(4):
+            key = f"{b}:{(row['sig'] >> (b * r_bits)) & mask}"
+            buckets.setdefault(key, []).append(row["vec_id"])
+    expect = {}
+    for members in buckets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            va, vb = vecs[a], vecs[b]
+            sim = round(
+                float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb)), 6
+            )
+            if sim >= 0.9:
+                expect[(a, b)] = sim
+    assert got == expect and len(expect) >= 10
+
+
 def test_sentence_chunks_packing(spark):
     from neuronews_spark.operators.text_stats import sentence_chunks
 
