@@ -879,6 +879,180 @@ def q_srp_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# synthetic raw-entity corpus for the dbt staging port: derived purely in
+# Column math from documents so the DuckDB mirror can regenerate it row-
+# for-row. Covers: trailing-space trim, every type-normalization arm
+# reachable from 22 messy variants (incl. '' → filtered), confidence
+# clamp >1, null end_char coalesce, and a planted duplicate per doc whose
+# later extracted_at must win the window dedup.
+_STG_NAMES = [
+    "alice smith", "bob lee", "carol jones", "dan brown",
+    "eve adams", "frank moore", "grace kim", "hank wu",
+]
+_STG_TYPES = [
+    "PERSON", "per", "ORGANIZATION", " org", "gpe", "LOCATION", "loc",
+    "EVENT", "product", "WORK-OF-ART", "ART", "legal", "lang", "DATE",
+    "TIME", "%", "MONETARY", "qty", "ord", "NUMBER", "unknown", "",
+]
+
+
+def q_stg_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """dbt staging surrogate-key port (stg_entities.sql:12-20,27,36-112):
+    raw→staging article mapping via regenerated dbt surrogate keys, entity
+    cleaning/normalization, and latest-version window dedup."""
+    _prep(spark)
+    from neuronews_spark.operators.staging import (
+        dbt_surrogate_key,
+        stg_entities,
+        stg_news_mapping,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    raw_news = docs.select(
+        F.col("doc_id").alias("raw_article_id"),
+        F.concat(
+            F.lit("https://news.example/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "source",
+    )
+    stg_news = raw_news.select(
+        dbt_surrogate_key(F.col("url"), F.col("source")).alias("article_id")
+    )
+    names = F.array(*[F.lit(x) for x in _STG_NAMES])
+    types = F.array(*[F.lit(x) for x in _STG_TYPES])
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("dup_idx"),
+    ).select(
+        d.alias("article_id"),
+        F.concat(
+            F.element_at(names, (d % 8 + 1).cast("int")),
+            F.when(d % 3 == 0, F.lit(" ")).otherwise(F.lit("")),
+        ).alias("entity_text"),
+        F.element_at(types, (d % 22 + 1).cast("int")).alias("entity_type"),
+        (d % 120).alias("start_char"),
+        "dup_idx",
+        ((d % 160) / F.lit(100.0) - F.lit(0.25)).alias("confidence_score"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + d % 1000 + F.col("dup_idx") * 60
+        ).alias("extracted_at"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + d % 1000).alias("created_at"),
+    )
+    raw_entities = base.withColumn(
+        "end_char",
+        F.when(F.col("article_id") % 5 == 0, F.lit(None).cast("long")).otherwise(
+            F.col("start_char") + F.length(F.col("entity_text")) + 1
+        ),
+    ).drop("dup_idx")
+    return stg_entities(raw_entities, stg_news_mapping(raw_news, stg_news))
+
+
+def q_outlet_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """The distributed half of outlet clustering (the half that scales
+    with the corpus): per-outlet L2-normalised frame-score vectors,
+    exploded to (source, doc_count, frame, weight) so the driver can
+    value-hash them. The driver-side numpy clustering over these tens of
+    rows stays pytest-oracled (outlet_clusters)."""
+    _prep(spark)
+    from neuronews_spark.operators.outlet_clustering import (
+        FRAME_LABELS,
+        build_outlet_vectors,
+    )
+
+    v = build_outlet_vectors(_t(spark, sf, "documents"))
+    frames = F.array(*[F.lit(f) for f in FRAME_LABELS])
+    return v.select(
+        "source",
+        "doc_count",
+        F.posexplode("vector").alias("pos", "w"),
+    ).select(
+        "source",
+        "doc_count",
+        F.element_at(frames, F.col("pos") + 1).alias("frame"),
+        F.round(F.col("w"), 6).alias("weight"),
+    )
+
+
+def q_srp_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall gate for the SRP-LSH embedding near-dup path: one row
+    (n_exact, n_lsh, n_hit, recall) where n_exact is the brute-force
+    all-pairs truth and n_lsh/n_hit come from the LSH pipeline. The oracle
+    computes n_exact from SQL and pins the (deterministic: fixed seeds,
+    fixed corpus) LSH counts, so any behavior drift in bucketing or
+    verification hash-mismatches."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        srp_lsh_near_dups,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    exact = embedding_cosine_pairs(
+        emb, "vec_id", "embedding", threshold=0.35
+    ).select("id_a", "id_b")
+    lsh = srp_lsh_near_dups(
+        emb, "vec_id", "embedding", threshold=0.35
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
+def q_text_srp_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Same recall gate for the raw-text path (hashed TF-IDF embed →
+    SRP-LSH, the text_srp_near_dups configuration)."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        srp_lsh_near_dups,
+    )
+    from neuronews_spark.operators.doc_embedder import (
+        assemble_dense,
+        hashed_tfidf_features,
+    )
+
+    dense = assemble_dense(
+        hashed_tfidf_features(_t(spark, sf, "documents"), dim=64), dim=64
+    ).persist()
+    exact = embedding_cosine_pairs(
+        dense, "doc", "embedding", threshold=0.9
+    ).select("id_a", "id_b")
+    lsh = srp_lsh_near_dups(
+        dense, "doc", "embedding", threshold=0.9, n_planes=64, bands=8
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_hit = lsh.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_exact.crossJoin(n_lsh)
+        .crossJoin(n_hit)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        )
+    )
+
+
 def q_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     # the "keep one per near-dup cluster" step: documents minus losers
     _prep(spark)
@@ -1037,7 +1211,12 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    # full probe (n_probe = n_centroids) drives the whole IVF machinery —
+    # centroid sampling, cell assignment, probe join — through a setting
+    # where the result is provably exact, so the brute-force SQL mirror is
+    # a true oracle; pruned-probe recall is pytest-gated
+    # (tests/test_training_ops.py)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16)
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -1638,6 +1817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_7d_moving_avg": q_trend_7d_moving_avg,
         "claim_attribution": q_claim_attribution,
         "dim_user_activity": q_dim_user_activity,
+        "outlet_vectors": q_outlet_vectors,
+        "stg_entities": q_stg_entities,
         "frames_by_source": q_frames_by_source,
         "model_benchmark": q_model_benchmark,
         "doc_actors": q_doc_actors,
@@ -1661,14 +1842,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stance_drift": q_stance_drift,
         "claim_evidence": q_claim_evidence,
         "er_lev_pairs": q_er_lev_pairs,
+        "ivf_topk": q_ivf_topk,
         "top_influencers": q_top_influencers,
         "pagerank_events": q_pagerank_events,
         "outlet_transparency": q_outlet_transparency,
         "position_followthrough": q_position_followthrough,
+        "text_srp_recall": q_text_srp_recall,
+        "srp_recall": q_srp_recall,
         # --- rows-only (pytest-oracled) ---
         "entity_resolution": q_entity_resolution,
         "simhash_near_dups": q_simhash_near_dups,
-        "ivf_topk": q_ivf_topk,
         "media_features": q_media_features,
         "srp_near_dups": q_srp_near_dups,
         "entity_relations": q_entity_relations,
@@ -3096,6 +3279,33 @@ def _outlet_transparency_sql() -> str:
     )
 
 
+# shared DuckDB mirror of the hashed-TF-IDF sparse embed
+# (doc_embedder.hashed_tfidf_features): used by the doc_embeddings oracle
+# and as the exact-side prefix of the text_srp_recall gate
+_HASHED_TFIDF_CTES = """
+            WITH toks AS (
+              SELECT doc_id AS doc,
+                     unnest(list_transform(
+                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                       x -> lower(x))) AS token
+              FROM documents),
+            b AS MATERIALIZED (
+              SELECT doc,
+                     (('0x' || substring(md5(token), 1, 8))::bigint % 64) AS bucket
+              FROM toks),
+            tf AS (SELECT doc, bucket, count(*)::double AS tf FROM b GROUP BY 1, 2),
+            nn AS (SELECT count(DISTINCT doc_id)::double AS n FROM documents),
+            dfb AS (
+              SELECT bucket, count(*)::double AS df
+              FROM (SELECT DISTINCT doc, bucket FROM b) GROUP BY 1),
+            w AS MATERIALIZED (
+              SELECT doc, tf.bucket,
+                     tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
+              FROM tf JOIN dfb USING (bucket) CROSS JOIN nn),
+            norms AS (SELECT doc, sqrt(sum(w * w)) AS l2 FROM w GROUP BY doc)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     pos_re = r"\b(good|great|excellent|amazing|wonderful|fantastic|positive)\b"
     neg_re = r"\b(bad|terrible|awful|horrible|negative|disappointing)\b"
@@ -3300,29 +3510,197 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_orders, 0) AS n_orders, first_order, last_order
             FROM ev LEFT JOIN oa ON ev.user_id = oa.user_id
         """,
-        "doc_embeddings": """
-            WITH toks AS (
-              SELECT doc_id AS doc,
-                     unnest(list_transform(
-                       list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                       x -> lower(x))) AS token
-              FROM documents),
-            b AS MATERIALIZED (
-              SELECT doc,
-                     (('0x' || substring(md5(token), 1, 8))::bigint % 64) AS bucket
-              FROM toks),
-            tf AS (SELECT doc, bucket, count(*)::double AS tf FROM b GROUP BY 1, 2),
-            nn AS (SELECT count(DISTINCT doc_id)::double AS n FROM documents),
-            dfb AS (
-              SELECT bucket, count(*)::double AS df
-              FROM (SELECT DISTINCT doc, bucket FROM b) GROUP BY 1),
-            w AS MATERIALIZED (
-              SELECT doc, tf.bucket,
-                     tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS w
-              FROM tf JOIN dfb USING (bucket) CROSS JOIN nn),
-            norms AS (SELECT doc, sqrt(sum(w * w)) AS l2 FROM w GROUP BY doc)
+        "doc_embeddings": _HASHED_TFIDF_CTES + """
             SELECT doc, bucket, round(w / l2, 6) AS value
             FROM w JOIN norms USING (doc)
+        """,
+        # recall gates: n_exact is genuinely SQL-derived (brute-force
+        # all-pairs); the LSH-side counts are PINNED — the LSH pipeline is
+        # fully deterministic (hash-seeded planes, fixed corpus), so the
+        # pins are a regression gate valid for the driver's sf0.01
+        # correctness corpus. Any drift in bucketing/verify hash-mismatches.
+        # dbt staging port: the mirror re-derives the synthetic raw corpus
+        # (same Column math as q_stg_entities) and then applies the
+        # reference model's own SQL shape (stg_entities.sql:12-112)
+        "stg_entities": """
+            WITH raw_news AS (
+              SELECT doc_id AS raw_article_id,
+                     'https://news.example/' || source || '/' || doc_id::varchar AS url,
+                     source
+              FROM documents),
+            stg_news AS (
+              SELECT md5(coalesce(url, '_dbt_utils_surrogate_key_null_')
+                         || '-' ||
+                         coalesce(source, '_dbt_utils_surrogate_key_null_'))
+                       AS article_id
+              FROM raw_news),
+            mapping AS (
+              SELECT rn.raw_article_id, sn.article_id AS staging_article_id
+              FROM raw_news rn JOIN stg_news sn
+                ON md5(coalesce(rn.url, '_dbt_utils_surrogate_key_null_')
+                       || '-' ||
+                       coalesce(rn.source, '_dbt_utils_surrogate_key_null_'))
+                   = sn.article_id),
+            ents AS (
+              SELECT d.doc_id AS article_id,
+                     list_extract(['alice smith','bob lee','carol jones',
+                       'dan brown','eve adams','frank moore','grace kim',
+                       'hank wu'], (d.doc_id % 8 + 1)::int)
+                       || CASE WHEN d.doc_id % 3 = 0 THEN ' ' ELSE '' END
+                       AS entity_text,
+                     list_extract(['PERSON','per','ORGANIZATION',' org',
+                       'gpe','LOCATION','loc','EVENT','product',
+                       'WORK-OF-ART','ART','legal','lang','DATE','TIME','%',
+                       'MONETARY','qty','ord','NUMBER','unknown',''],
+                       (d.doc_id % 22 + 1)::int) AS entity_type,
+                     d.doc_id % 120 AS start_char,
+                     dup.dup_idx,
+                     (d.doc_id % 160)::double / 100.0::double
+                       - 0.25::double AS confidence_score,
+                     make_timestamp((1700000000 + d.doc_id % 1000
+                       + dup.dup_idx * 60) * 1000000) AS extracted_at,
+                     make_timestamp((1700000000 + d.doc_id % 1000)
+                       * 1000000) AS created_at
+              FROM documents d
+              CROSS JOIN (SELECT unnest([0, 1]) AS dup_idx) dup),
+            raw_entities AS (
+              SELECT *,
+                     CASE WHEN article_id % 5 = 0 THEN NULL
+                          ELSE start_char + length(entity_text) + 1
+                     END AS end_char
+              FROM ents),
+            cleaned AS (
+              SELECT
+                md5(re.article_id::varchar || '-' || entity_text || '-'
+                    || entity_type || '-' || start_char::varchar) AS entity_id,
+                m.staging_article_id AS article_id,
+                trim(entity_text) AS entity_text_out,
+                CASE
+                  WHEN upper(trim(entity_type)) IN ('PERSON','PER') THEN 'PERSON'
+                  WHEN upper(trim(entity_type)) IN ('ORG','ORGANIZATION') THEN 'ORG'
+                  WHEN upper(trim(entity_type)) IN ('GPE','GEOPOLITICAL') THEN 'GPE'
+                  WHEN upper(trim(entity_type)) IN ('LOC','LOCATION') THEN 'LOC'
+                  WHEN upper(trim(entity_type)) IN ('EVENT') THEN 'EVENT'
+                  WHEN upper(trim(entity_type)) IN ('PRODUCT','PROD') THEN 'PRODUCT'
+                  WHEN upper(trim(entity_type)) IN ('WORK_OF_ART','WORK-OF-ART','ART') THEN 'WORK_OF_ART'
+                  WHEN upper(trim(entity_type)) IN ('LAW','LEGAL') THEN 'LAW'
+                  WHEN upper(trim(entity_type)) IN ('LANGUAGE','LANG') THEN 'LANGUAGE'
+                  WHEN upper(trim(entity_type)) IN ('DATE') THEN 'DATE'
+                  WHEN upper(trim(entity_type)) IN ('TIME') THEN 'TIME'
+                  WHEN upper(trim(entity_type)) IN ('PERCENT','PERCENTAGE','%') THEN 'PERCENT'
+                  WHEN upper(trim(entity_type)) IN ('MONEY','MONETARY','CURRENCY') THEN 'MONEY'
+                  WHEN upper(trim(entity_type)) IN ('QUANTITY','QTY') THEN 'QUANTITY'
+                  WHEN upper(trim(entity_type)) IN ('ORDINAL','ORD') THEN 'ORDINAL'
+                  WHEN upper(trim(entity_type)) IN ('CARDINAL','CARD','NUMBER') THEN 'CARDINAL'
+                  ELSE 'MISC'
+                END AS entity_type_out,
+                CASE WHEN confidence_score < 0 THEN 0.0::double
+                     WHEN confidence_score > 1 THEN 1.0::double
+                     ELSE confidence_score END AS confidence_out,
+                coalesce(start_char, 0) AS start_position,
+                coalesce(end_char, start_char + length(entity_text),
+                         length(entity_text)) AS end_position,
+                length(trim(entity_text)) AS entity_length,
+                extracted_at::timestamp AS extracted_at_utc,
+                created_at::timestamp AS created_at_utc,
+                row_number() OVER (
+                  PARTITION BY re.article_id, trim(entity_text),
+                               upper(trim(entity_type)), start_char
+                  ORDER BY extracted_at DESC, created_at DESC) AS row_num
+              FROM raw_entities re
+              JOIN mapping m ON re.article_id = m.raw_article_id
+              WHERE entity_text IS NOT NULL AND trim(entity_text) <> ''
+                AND entity_type IS NOT NULL AND trim(entity_type) <> ''
+                AND confidence_score IS NOT NULL
+                AND extracted_at IS NOT NULL AND created_at IS NOT NULL
+                AND confidence_score >= 0.5)
+            SELECT entity_id, article_id,
+                   entity_text_out AS entity_text,
+                   entity_type_out AS entity_type,
+                   confidence_out AS confidence_score,
+                   start_position, end_position, entity_length,
+                   extracted_at_utc, created_at_utc
+            FROM cleaned WHERE row_num = 1
+        """,
+        # mirrors build_outlet_vectors: frame keyword token counts per
+        # source, 'other' = leftover mass, L2-normalised. Sum order in the
+        # norm matches the Spark fold (economic..scientific, then other).
+        "outlet_vectors": """
+            WITH toks AS (
+              SELECT source,
+                     list_filter(list_transform(
+                       string_split_regex(text, '\\s+'), x -> lower(x)),
+                       x -> x <> '') AS t
+              FROM documents),
+            per AS (
+              SELECT source,
+                     count(*) AS doc_count,
+                     sum(len(t))::double AS total,
+                     sum(len(list_filter(t, x -> x IN
+                       ('value','cost','price','total'))))::double AS economic,
+                     sum(len(list_filter(t, x -> x IN
+                       ('hash','key','lock'))))::double AS security,
+                     sum(len(list_filter(t, x -> x IN
+                       ('user','group','people'))))::double AS humanitarian,
+                     sum(len(list_filter(t, x -> x IN
+                       ('rule','order','filter'))))::double AS legal,
+                     sum(len(list_filter(t, x -> x IN
+                       ('leader','vote','part'))))::double AS political,
+                     sum(len(list_filter(t, x -> x IN
+                       ('scan','test','merge','sort'))))::double AS scientific
+              FROM toks GROUP BY source),
+            vec AS (
+              SELECT *, total - (((((economic + security) + humanitarian)
+                         + legal) + political) + scientific) AS other
+              FROM per),
+            nrm AS (
+              SELECT *, sqrt(((((((0.0 + economic*economic)
+                     + security*security) + humanitarian*humanitarian)
+                     + legal*legal) + political*political)
+                     + scientific*scientific) + other*other) AS l2
+              FROM vec)
+            SELECT source, doc_count, frame,
+                   round(CASE WHEN l2 > 0 THEN v / l2 ELSE v END, 6) AS weight
+            FROM nrm,
+                 LATERAL (VALUES
+                   ('economic', economic), ('security', security),
+                   ('humanitarian', humanitarian), ('legal', legal),
+                   ('political', political), ('scientific', scientific),
+                   ('other', other)) AS fv(frame, v)
+        """,
+        "srp_recall": """
+            WITH exact AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(
+                      a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+            )
+            SELECT count(*) AS n_exact,
+                   147::bigint AS n_lsh,
+                   147::bigint AS n_hit,
+                   round(147::double / count(*), 6) AS recall
+            FROM exact
+        """,
+        "text_srp_recall": _HASHED_TFIDF_CTES + """
+            , vals AS (
+              SELECT doc, bucket, (round(w / l2, 6)::REAL)::DOUBLE AS v
+              FROM w JOIN norms USING (doc)),
+            dense AS (
+              -- float32 cast mirrors assemble_dense's array<float>
+              SELECT d.doc, list(coalesce(v.v, 0.0) ORDER BY r.i) AS emb
+              FROM (SELECT DISTINCT doc FROM vals) d
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r
+              LEFT JOIN vals v ON v.doc = d.doc AND v.bucket = r.i
+              GROUP BY d.doc),
+            exact AS (
+              SELECT a.doc AS id_a, b.doc AS id_b
+              FROM dense a JOIN dense b ON a.doc < b.doc
+              WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9)
+            SELECT count(*) AS n_exact,
+                   286::bigint AS n_lsh,
+                   286::bigint AS n_hit,
+                   round(286::double / count(*), 6) AS recall
+            FROM exact
         """,
         "dup_clusters": cc + "SELECT n AS doc_id, component FROM comp",
         "dedup_docs": cc + """
@@ -3518,6 +3896,20 @@ def oracle_sql() -> dict[str, str]:
                 ON a.g = b.g AND a.doc_id < b.doc_id
               GROUP BY a.doc_id, b.doc_id)
             WHERE jaccard >= 0.9
+        """,
+        # full-probe IVF is exact → same brute-force mirror as cosine_top5
+        "ivf_topk": """
+            SELECT query_id, vec_id, sim, rank FROM (
+              SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                     round(list_cosine_similarity(
+                       v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                       v.vec_id ASC) AS rank
+              FROM embeddings v CROSS JOIN
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+            WHERE rank <= 5
         """,
         "cosine_top5": """
             SELECT query_id, vec_id, sim, rank FROM (

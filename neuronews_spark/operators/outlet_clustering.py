@@ -218,15 +218,31 @@ class OutletClusterResult:
     n_outlets: int
 
 
+DRIVER_MAX_OUTLETS = 100_000
+
+
 def run_outlet_clustering(
     outlet_vectors: DataFrame,
     k_min: int = 2,
     k_max: int = 8,
     seed: int = 42,
+    driver_max_outlets: int = DRIVER_MAX_OUTLETS,
 ) -> OutletClusterResult:
     """run_clustering (:186-303): silhouette-selected best of
     kmeans/hierarchical over k_min..k_max + PCA coords + centroid labels.
-    Collects ONE ROW PER OUTLET (tiny by construction)."""
+    Collects ONE ROW PER OUTLET (tiny by construction) — enforced by an
+    explicit gate like clustering.DRIVER_CC_MAX_EDGES: outlet cardinality
+    is bounded by the source-domain population, not the corpus size, but a
+    mis-keyed input (e.g. doc_id as source) would otherwise pull the whole
+    table into the driver."""
+    n_outlets = outlet_vectors.count()
+    if n_outlets > driver_max_outlets:
+        raise ValueError(
+            f"run_outlet_clustering collects one row per outlet; got "
+            f"{n_outlets} outlets > driver_max_outlets={driver_max_outlets}. "
+            "The grouping column is probably not an outlet key; pre-aggregate "
+            "or raise driver_max_outlets explicitly."
+        )
     rows = outlet_vectors.select("source", "doc_count", "vector").collect()
     spark = outlet_vectors.sparkSession
     n = len(rows)

@@ -67,3 +67,15 @@ def test_build_vectors_and_cluster_end_to_end(spark):
     assert res.method in ("kmeans", "hierarchical")
     assert assigned["eco0"]["dominant_frame"] == "economic"
     assert assigned["sci0"]["dominant_frame"] == "scientific"
+
+
+def test_driver_gate_rejects_outlet_explosion(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(f"outlet{i}", "value cost") for i in range(40)],
+        "source string, text string",
+    )
+    vecs = build_outlet_vectors(docs)
+    with pytest.raises(ValueError, match="driver_max_outlets"):
+        run_outlet_clustering(vecs, driver_max_outlets=10)
