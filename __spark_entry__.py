@@ -1849,15 +1849,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_followthrough": q_position_followthrough,
         "text_srp_recall": q_text_srp_recall,
         "srp_recall": q_srp_recall,
-        # --- rows-only (pytest-oracled) ---
+        # --- rows-only (each pytest-oracled; why no SQL mirror) ---
+        # entity_resolution: difflib-ratio scoring + iterative CC; the
+        #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
+        #   and clusters via the F1=1.0 labeled-corpus pytest
         "entity_resolution": q_entity_resolution,
+        # simhash: signature = majority vote over Spark xxhash64(seed 42)
+        #   bits — DuckDB has no xxhash64; bit-identical pure-Column
+        #   differential pytest instead
         "simhash_near_dups": q_simhash_near_dups,
+        # media: binary decode stub (no codec libs in sandbox); Arrow
+        #   plumbing pytest-verified
         "media_features": q_media_features,
+        # srp pair sets depend on seeded random hyperplanes (no DuckDB
+        #   kernel); recall/precision ARE driver-oracled via srp_recall /
+        #   text_srp_recall, plus a bucket-verify differential pytest
         "srp_near_dups": q_srp_near_dups,
+        # entity_relations: difflib ratio inside the matcher; pytest parity
         "entity_relations": q_entity_relations,
+        # kmeans clustering: iterative data-dependent convergence; pytest
+        #   with planted clusters
         "event_clusters": q_event_clusters,
         "text_srp_near_dups": q_text_srp_near_dups,
         "text_event_clusters": q_text_event_clusters,
+        # outlet_clusters: silhouette-selected numpy KMeans/Ward/PCA over
+        #   tens of rows (driver-side by construction, gated); the
+        #   distributed half IS oracled via outlet_vectors
         "outlet_clusters": q_outlet_clusters,
     }
 
