@@ -951,6 +951,25 @@ def q_stg_entities(spark: SparkSession, sf: str) -> DataFrame:
     return stg_entities(raw_entities, stg_news_mapping(raw_news, stg_news))
 
 
+def q_ner_preprocess(spark: SparkSession, sf: str) -> DataFrame:
+    """NER text preprocessing/truncation port (ner_processor.py:212-235).
+    The synthetic docs are all shorter than the 2048-char budget, so the
+    text is inflated ('. '-joined self-repeats) to exercise BOTH the
+    truncation and the sentence-boundary backoff alongside the untouched
+    short path."""
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import ner_preprocess
+
+    docs = _t(spark, sf, "documents")
+    big = F.concat_ws(
+        ". ", *([F.col("text")] * 8)
+    )  # ~8x median length: many docs cross 2048, short ones don't
+    return docs.select(
+        "doc_id",
+        ner_preprocess(big).alias("clean_text"),
+    ).withColumn("clean_len", F.length("clean_text"))
+
+
 def q_outlet_vectors(spark: SparkSession, sf: str) -> DataFrame:
     """The distributed half of outlet clustering (the half that scales
     with the corpus): per-outlet L2-normalised frame-score vectors,
@@ -1818,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_attribution": q_claim_attribution,
         "dim_user_activity": q_dim_user_activity,
         "outlet_vectors": q_outlet_vectors,
+        "ner_preprocess": q_ner_preprocess,
         "stg_entities": q_stg_entities,
         "frames_by_source": q_frames_by_source,
         "model_benchmark": q_model_benchmark,
@@ -3638,6 +3658,41 @@ def oracle_sql() -> dict[str, str]:
                    start_position, end_position, entity_length,
                    extracted_at_utc, created_at_utc
             FROM cleaned WHERE row_num = 1
+        """,
+        # mirrors ner_preprocess exactly: collapse/strip regexes, 2048-char
+        # budget, last-period backoff past 1024 (0-based), trim
+        "ner_preprocess": """
+            WITH rep AS (
+              SELECT doc_id,
+                     text || '. ' || text || '. ' || text || '. ' || text
+                       || '. ' || text || '. ' || text || '. ' || text
+                       || '. ' || text AS big
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(big, '\\s+', ' ', 'g'),
+                       '[^\\w\\s\\.\\,\\;\\:\\!\\?\\-\\(\\)"''\\/]', ' ', 'g')
+                       AS t
+              FROM rep),
+            p AS (
+              SELECT doc_id, t, substring(t, 1, 2048) AS trunc,
+                     CASE WHEN strpos(reverse(substring(t, 1, 2048)), '.') = 0
+                          THEN 0
+                          ELSE length(substring(t, 1, 2048))
+                               - strpos(reverse(substring(t, 1, 2048)), '.') + 1
+                     END AS pos
+              FROM c)
+            SELECT doc_id,
+                   trim(CASE WHEN length(t) > 2048 THEN
+                          CASE WHEN pos > 0 AND pos - 1 > 1024
+                               THEN substring(trunc, 1, pos) ELSE trunc END
+                        ELSE t END) AS clean_text,
+                   length(trim(CASE WHEN length(t) > 2048 THEN
+                          CASE WHEN pos > 0 AND pos - 1 > 1024
+                               THEN substring(trunc, 1, pos) ELSE trunc END
+                        ELSE t END)) AS clean_len
+            FROM p
         """,
         # mirrors build_outlet_vectors: frame keyword token counts per
         # source, 'other' = leftover mass, L2-normalised. Sum order in the

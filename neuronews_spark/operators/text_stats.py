@@ -229,3 +229,28 @@ def sentence_chunks(
         F.ceil(F.length("sentence") / 4).cast("int").alias("est_tokens"),
         F.floor(cum_before / max_chars).cast("int").alias("chunk_id"),
     )
+
+
+def ner_preprocess(text: Column, max_length: int = 512) -> Column:
+    """Exact port of the reference NER text preprocessing
+    (``ner_processor.py:212-235`` ``_preprocess_text``): collapse
+    whitespace, strip tokenizer-hostile characters, truncate to a
+    ``max_length*4`` char budget with a sentence-boundary backoff (cut at
+    the last period when it lies past ``max_length*2``), then strip.
+
+    Pure Column math. One deviation: ``\\w`` here is ASCII (Java/RE2
+    regex) where Python's is unicode-aware — identical on ASCII corpora,
+    documented for anything else."""
+    limit = max_length * 4
+    floor_ = max_length * 2
+    t = F.regexp_replace(text, r"\s+", " ")
+    t = F.regexp_replace(t, r"[^\w\s\.\,\;\:\!\?\-\(\)\"\'\/]", " ")
+    trunc = F.substring(t, 1, limit)
+    rev_pos = F.locate(".", F.reverse(trunc))  # 0 when no period
+    last_period = F.length(trunc) - rev_pos + 1  # 1-based '.' position
+    # reference condition is on the 0-based index: rfind(".") > 2*max_length
+    cut = F.when(
+        (rev_pos > 0) & (last_period - 1 > floor_),
+        F.substring(trunc, 1, last_period),
+    ).otherwise(trunc)
+    return F.trim(F.when(F.length(t) > limit, cut).otherwise(t))

@@ -329,6 +329,39 @@ def test_srp_bucket_verify_matches_pair_materialized_verify(spark):
     assert got == expect and len(expect) >= 10
 
 
+def test_ner_preprocess_reference_kernel(spark):
+    """_preprocess_text parity (ner_processor.py:212-235) including the
+    no-period hard-truncation branch the synthetic corpus never hits."""
+    import re
+
+    from neuronews_spark.operators.text_stats import ner_preprocess
+
+    def reference(text, max_length=512):  # verbatim reference logic
+        text = re.sub(r"\s+", " ", text)
+        text = re.sub(r"[^\w\s\.\,\;\:\!\?\-\(\)\"\'\/]", " ", text)
+        if len(text) > max_length * 4:
+            text = text[: max_length * 4]
+            last_period = text.rfind(".")
+            if last_period > max_length * 2:
+                text = text[: last_period + 1]
+        return text.strip()
+
+    cases = [
+        "plain  short\t text with * strange @@ chars #1",
+        "a" * 3000,  # long, no period → hard cut at 2048
+        ("word " * 250 + ". ") * 4,  # long with periods → backoff cut
+        "x" * 1500 + "." + "y" * 1500,  # period before the 1024 floor
+        "  leading and trailing   ",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", ner_preprocess(F.col("t")).alias("c")).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == reference(c), f"case {i} diverged"
+
+
 def test_sentence_chunks_packing(spark):
     from neuronews_spark.operators.text_stats import sentence_chunks
 
