@@ -83,6 +83,18 @@ def minhash_near_duplicates(
     32 hashes × 8 bands); exact Jaccard verification removes false bucket
     collisions, so output quality does not depend on LSH tuning — only
     recall does. Oversized buckets are dropped (skew cap), as in blocking.
+
+    Verification is BUCKET-LOCAL (same plan shape as
+    :func:`srp_lsh_near_dups`): each band bucket verifies its own pairs
+    with a factorize + chunked set-membership matmul inside
+    ``applyInPandas``, so the shuffle carries O(n·bands) shingle-array
+    rows instead of TWO shingle arrays per candidate pair (the round-2
+    plan shipped sh_a/sh_b through the bucket self-join AND the pair
+    dedup — a pair-count-shaped shuffle of array payloads). Only
+    threshold-passing pairs materialize; cross-band duplicates are
+    deduped over that tiny verified set. The cap bounds each pandas
+    group (≤ max_bucket docs; intersections via float32 matmul, exact
+    for shingle counts < 2^24).
     """
     toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
     base = df.select(
@@ -102,33 +114,53 @@ def minhash_near_duplicates(
     sizes = keyed.groupBy("bucket").count().filter(F.col("count") <= max_bucket)
     keyed = keyed.join(sizes.select("bucket"), "bucket")
 
-    a = keyed.select(
-        "bucket", F.col("doc").alias("id_a"), F.col("shingles").alias("sh_a")
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("jaccard", T.DoubleType()),
+        ]
     )
-    b = keyed.select(
-        "bucket", F.col("doc").alias("id_b"), F.col("shingles").alias("sh_b")
-    )
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # size-ratio prefilter (J >= t ⇒ min|set|/max|set| >= t) before the
-    # exact set intersection
-    size_ok = (
-        F.least(F.size("sh_a"), F.size("sh_b"))
-        >= F.lit(jaccard_threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
-    )
-    return (
-        cand.filter(size_ok)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    threshold = jaccard_threshold
+
+    def _verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series([], dtype=object),
+                    "id_b": pd.Series([], dtype=object),
+                    "jaccard": pd.Series([], dtype="float64"),
+                }
+            )
+        order = np.argsort(pdf["doc"].to_numpy())
+        ids = pdf["doc"].to_numpy()[order]
+        sh = [np.asarray(s, dtype=object) for s in pdf["shingles"].to_numpy()[order]]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        codes, _ = pd.factorize(np.concatenate(sh))
+        rows = np.repeat(np.arange(n), lens)
+        v = int(codes.max()) + 1
+        inter = np.zeros((n, n), dtype=np.float32)
+        chunk = 16384  # bounds the dense membership slab at n×16k floats
+        for start in range(0, v, chunk):
+            sel = (codes >= start) & (codes < min(start + chunk, v))
+            m = np.zeros((n, min(chunk, v - start)), dtype=np.float32)
+            m[rows[sel], codes[sel] - start] = 1.0
+            inter += m @ m.T
+        inter_i = inter.astype(np.int64)
+        union = lens[:, None] + lens[None, :] - inter_i
+        jac = np.round(
+            np.where(union > 0, inter_i / np.maximum(union, 1), 0.0), 6
         )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+        ia, ib = np.triu_indices(n, k=1)
+        keep = jac[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "jaccard": jac[ia, ib][keep]}
+        )
+
+    verified = keyed.groupBy("bucket").applyInPandas(_verify_bucket, out_schema)
+    return verified.groupBy("id_a", "id_b").agg(F.max("jaccard").alias("jaccard"))
 
 
 # -------------------------------------------------------------- simhash

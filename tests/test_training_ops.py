@@ -329,6 +329,55 @@ def test_srp_bucket_verify_matches_pair_materialized_verify(spark):
     assert got == expect and len(expect) >= 10
 
 
+def test_minhash_bucket_verify_matches_pair_materialized_verify(spark):
+    """Differential for the bucket-local minhash verify: same pairs+jaccard
+    as materializing every within-bucket candidate and set-verifying it in
+    the driver (the round-2 plan's semantics)."""
+    from neuronews_spark.functions.normalize import minhash_band_keys, token_shingles
+    from neuronews_spark.functions.normalize import tokens as ws_tokens
+    from neuronews_spark.operators.dedup import minhash_near_duplicates
+
+    rows = []
+    base_words = ["alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                  "one two three four five six seven eight nine ten"]
+    for i in range(20):
+        t = base_words[i % 2] + f" tail{i // 4}"  # groups of near-identical docs
+        rows.append((i, t))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_near_duplicates(
+            docs, "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+
+    # reference: same shingles + band keys via the same Column primitives,
+    # candidates materialized per bucket, exact set Jaccard in the driver
+    toks = F.transform(ws_tokens(F.col("text")), lambda x: F.lower(x))
+    base = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.array_distinct(token_shingles(F.array_join(toks, " "), n=3)).alias("sh"),
+        minhash_band_keys(
+            F.array_distinct(token_shingles(F.array_join(toks, " "), n=3)),
+            n_hashes=32, bands=8, prefix="d",
+        ).alias("keys"),
+    ).collect()
+    shingles = {r["doc"]: set(r["sh"]) for r in base}
+    buckets: dict[str, list[int]] = {}
+    for r in base:
+        for k in r["keys"]:
+            buckets.setdefault(k, []).append(r["doc"])
+    expect = {}
+    for members in buckets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            sa, sb = shingles[a], shingles[b]
+            j = round(len(sa & sb) / len(sa | sb), 6) if sa | sb else 0.0
+            if j >= 0.5:
+                expect[(a, b)] = j
+    assert got == expect and len(expect) >= 20
+
+
 def test_ner_preprocess_reference_kernel(spark):
     """_preprocess_text parity (ner_processor.py:212-235) including the
     no-period hard-truncation branch the synthetic corpus never hits."""
