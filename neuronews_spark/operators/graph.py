@@ -92,6 +92,10 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
+            # checkpoint EVERY round: an un-checkpointed round would
+            # re-execute inside both branches (dangling + contrib) of the
+            # next round's plan — one blocking materialization per round
+            # is the cheaper trade at any scale
             .localCheckpoint(eager=True)
         )
     return ranks
