@@ -89,7 +89,7 @@ SCALING_BASE = int(os.environ.get("SPARK_GRAFT_SCALING_BASE", 2))
 # for the same wall budget, 8 rounds x 1 pair samples 8 distinct noise
 # windows per leg where 4 rounds x 2 pairs sampled only 4 — a single noisy
 # window can no longer sink a leg's min (round-2 review finding)
-SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 8))
+SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 12))
 SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 3))
 SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", 2700))
 LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 1))
@@ -204,14 +204,24 @@ def _cpu_ticks(cores: int) -> tuple[int, int, int]:
 
 
 def _timed_er(spark, cores: int, n_turns: int) -> dict:
-    """One timed job with the steal fraction of its own window measured
-    on the leg's taskset CPU set."""
+    """One timed job with the steal AND busy fractions of its own window
+    measured on the leg's taskset CPU set. ``busy`` makes the shared-bus
+    decomposition auditable from the recorded samples alone: speedup loss
+    = idle share (busy_4N/busy_N) × cpu-time inflation
+    ((t_4N·4N·busy_4N)/(t_N·N·busy_N)) — the second factor is memory-stall
+    inflation a per-node-DRAM cluster does not have."""
     b0, i0, s0 = _cpu_ticks(cores)
     sec, _n = _run_er_job(spark, n_turns)
     b1, i1, s1 = _cpu_ticks(cores)
     total = (b1 - b0) + (i1 - i0) + (s1 - s0)
     steal_frac = (s1 - s0) / total if total > 0 else 0.0
-    return {"turns": n_turns, "sec": round(sec, 2), "steal": round(steal_frac, 3)}
+    busy_frac = (b1 - b0) / total if total > 0 else 0.0
+    return {
+        "turns": n_turns,
+        "sec": round(sec, 2),
+        "steal": round(steal_frac, 3),
+        "busy": round(busy_frac, 3),
+    }
 
 
 def _leg_main(cores: int) -> None:
