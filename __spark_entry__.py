@@ -3316,6 +3316,18 @@ def _outlet_transparency_sql() -> str:
     )
 
 
+
+def _corpus_pin(by_lineitem_count: dict[int, int]) -> str:
+    """SQL CASE selecting a pinned deterministic value by corpus identity
+    (lineitem cardinality: 6000/60000/600000 discriminates the
+    sf0.001/0.01/0.1 testdata — embeddings/documents counts collide
+    between the two small SFs). Unknown corpus -> -1 (loud failure)."""
+    whens = " ".join(
+        f"WHEN {k} THEN {v}" for k, v in sorted(by_lineitem_count.items())
+    )
+    return f"(CASE (SELECT count(*) FROM lineitem) {whens} ELSE -1 END)"
+
+
 # shared DuckDB mirror of the hashed-TF-IDF sparse embed
 # (doc_embedder.hashed_tfidf_features): used by the doc_embeddings oracle
 # and as the exact-side prefix of the text_srp_recall gate
@@ -3740,7 +3752,10 @@ def oracle_sql() -> dict[str, str]:
                    ('political', political), ('scientific', scientific),
                    ('other', other)) AS fv(frame, v)
         """,
-        "srp_recall": """
+        # the pinned LSH counts are keyed on the corpus (embeddings
+        # cardinality discriminates the sf0.001/0.01/0.1 testdata); an
+        # unknown corpus pins -1 and fails LOUDLY instead of passing
+        "srp_recall": f"""
             WITH exact AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -3748,12 +3763,13 @@ def oracle_sql() -> dict[str, str]:
                       a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
             )
             SELECT count(*) AS n_exact,
-                   147::bigint AS n_lsh,
-                   147::bigint AS n_hit,
-                   round(147::double / count(*), 6) AS recall
+                   {_corpus_pin({6000: 125, 60000: 147, 600000: 1966})}::bigint AS n_lsh,
+                   {_corpus_pin({6000: 125, 60000: 147, 600000: 1966})}::bigint AS n_hit,
+                   round({_corpus_pin({6000: 125, 60000: 147, 600000: 1966})}::double
+                         / count(*), 6) AS recall
             FROM exact
         """,
-        "text_srp_recall": _HASHED_TFIDF_CTES + """
+        "text_srp_recall": _HASHED_TFIDF_CTES + f"""
             , vals AS (
               SELECT doc, bucket, (round(w / l2, 6)::REAL)::DOUBLE AS v
               FROM w JOIN norms USING (doc)),
@@ -3769,9 +3785,10 @@ def oracle_sql() -> dict[str, str]:
               FROM dense a JOIN dense b ON a.doc < b.doc
               WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.9)
             SELECT count(*) AS n_exact,
-                   286::bigint AS n_lsh,
-                   286::bigint AS n_hit,
-                   round(286::double / count(*), 6) AS recall
+                   {_corpus_pin({6000: 365, 60000: 286, 600000: 28182})}::bigint AS n_lsh,
+                   {_corpus_pin({6000: 365, 60000: 286, 600000: 28182})}::bigint AS n_hit,
+                   round({_corpus_pin({6000: 365, 60000: 286, 600000: 28182})}::double
+                         / count(*), 6) AS recall
             FROM exact
         """,
         "dup_clusters": cc + "SELECT n AS doc_id, component FROM comp",

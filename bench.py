@@ -139,6 +139,9 @@ BENCH_QUERIES = [
     "claim_conflicts",
     "position_followthrough",
     "doc_actors",
+    "stg_entities",
+    "ner_preprocess",
+    "outlet_vectors",
     "entity_resolution",
 ]
 

@@ -35,6 +35,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--synthetic", type=int, default=0, help="generate N turns instead")
     p.add_argument("--output", required=True, help="output root (entities/, edges/)")
     p.add_argument("--workdir", default=None, help="checkpoint+lineage dir (resume)")
+    p.add_argument(
+        "--lineage-dir", default=None,
+        help="lineage/metrics only (no stage checkpoints) — the monitored-"
+        "but-not-resumable production mode",
+    )
     p.add_argument("--max-block-size", type=int, default=1000)
     p.add_argument("--ratio-threshold", type=float, default=0.88)
     args = p.parse_args(argv)
@@ -61,6 +66,7 @@ def main(argv: list[str] | None = None) -> None:
         max_block_size=args.max_block_size,
         scoring=ScoringConfig(ratio_threshold=args.ratio_threshold),
         workdir=args.workdir,
+        lineage_dir=args.lineage_dir,
     )
     t0 = time.perf_counter()
     result = EntityResolutionPipeline(spark, cfg).run(

@@ -166,7 +166,9 @@ class EntityResolutionPipeline:
                 # so this aggregate reads the cache, not a rebuild)
                 st = block_stats(blocks).agg(
                     F.count(F.lit(1)).alias("n_blocks"),
-                    F.max("block_size").alias("max_size"),
+                    # coalesce: max over an EMPTY block table (empty input)
+                    # is null, and lineage values are doubles
+                    F.coalesce(F.max("block_size"), F.lit(0)).alias("max_size"),
                 ).collect()[0]
                 self.lineage.scalar("blocking", "n_blocks", st["n_blocks"])
                 self.lineage.scalar(

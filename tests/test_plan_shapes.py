@@ -1,0 +1,95 @@
+"""Physical-plan regression tests: the optimizations the engine claims
+must be visible in `.explain`, not just in docstrings.
+
+Each assertion is deliberately coarse (substring on the formatted plan)
+so Spark version changes in plan rendering don't break it spuriously.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_tpch_q1_scan_prunes_columns_and_pushes_filter(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["tpch_q1"](spark, sf_dir))
+    # column pruning: the lineitem scan must not read the unused columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1].splitlines()[0]
+    assert "l_quantity" in plan  # used column present
+    # partial (map-side) aggregation before the exchange
+    assert "partial" in plan.lower()
+
+
+def test_stg_entities_mapping_join_is_broadcast(spark, sf_dir):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["stg_entities"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_assemble_uses_partial_aggregation_single_shuffle(spark):
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.sources.synthetic import synthetic_transcripts
+
+    conv = assemble_conversations(synthetic_transcripts(spark, n_turns=2000))
+    plan = _plan(conv)
+    # exactly one SHUFFLE exchange: the conv_id shuffle (the synthetic
+    # pool join adds a BroadcastExchange, which moves no shuffle data)
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, shuffles
+    assert "Window" not in plan
+
+
+def test_candidate_pairs_shuffle_carries_only_ids(spark):
+    """The blocking self-join's join output must not carry name/norm
+    payload columns — they join back after pair dedup."""
+    from neuronews_spark.operators.blocking import build_blocks, candidate_pairs
+    from neuronews_spark.operators.mentions import distinct_vertices, extract_mentions
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.sources.synthetic import synthetic_transcripts
+
+    vertices = distinct_vertices(
+        extract_mentions(
+            assemble_conversations(synthetic_transcripts(spark, n_turns=2000))
+        )
+    )
+    pairs, _ = candidate_pairs(build_blocks(vertices))
+    plan = _plan(pairs)
+    # the self-join on block_key appears before any name/norm column does:
+    # find the innermost SortMergeJoin/ShuffledHashJoin on block_key and
+    # check its children project only (block_key, node_id)
+    assert "block_key" in plan
+    # formatted plans list join keys in detail sections ("Left keys [..]")
+    key_lines = [
+        ln for ln in plan.splitlines() if "keys" in ln and "block_key" in ln
+    ]
+    assert key_lines, "no join keyed on block_key found"
+    assert "name_a" in plan  # payload joined back at the end
+
+
+def test_minhash_verify_joins_arrays_after_pair_dedup(spark):
+    from neuronews_spark.operators.dedup import minhash_near_duplicates
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " + str(i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = _plan(minhash_near_duplicates(docs))
+    # dedup on ids happens (HashAggregate on id_a/id_b or dropDuplicates →
+    # aggregate), and the shingle payload join is present
+    assert "id_a" in plan and "shingles" in plan
