@@ -1246,6 +1246,18 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return decode_features(media).select("media_id", "modality", "n_bytes")
 
 
+def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    _prep(spark)
+    from neuronews_spark.operators.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, n=64)
+    out = resize_images(media, width=16, height=12)
+    return out.select(
+        "media_id", "mime", "width", "height",
+        F.length("payload").alias("n_bytes"),
+    )
+
+
 # Attribution corpus: 10 planted claim templates covering every rule
 # branch of the content-type-aware attribution classifier
 # (attribution.py:39-142): according-to / APA / speaker-label /
@@ -1878,9 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   bits — DuckDB has no xxhash64; bit-identical pure-Column
         #   differential pytest instead
         "simhash_near_dups": q_simhash_near_dups,
-        # media: binary decode stub (no codec libs in sandbox); Arrow
-        #   plumbing pytest-verified
+        # media: binary decode/resize stubs (no codec libs in sandbox);
+        #   Arrow plumbing pytest-verified
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
         # srp pair sets depend on seeded random hyperplanes (no DuckDB
         #   kernel); recall/precision ARE driver-oracled via srp_recall /
         #   text_srp_recall, plus a bucket-verify differential pytest

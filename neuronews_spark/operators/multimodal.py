@@ -89,6 +89,62 @@ def decode_features(
     return pruned.mapInPandas(_run, schema=_FEATURES_SCHEMA)
 
 
+_RESIZED_SCHEMA = "media_id string, mime string, width int, height int, payload binary"
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    require_real_resizer: bool = False,
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage:
+    media(MEDIA_SCHEMA) image rows → (media_id, mime, width, height,
+    payload) with payloads re-encoded at (width, height).
+
+    Spark-side plumbing is real — image-row pruning, payload-only
+    projection into the UDF, output schema/metadata — while the codec is
+    stubbed like :func:`decode_features`: the fake resizer emits a
+    deterministic payload of the nominal RGB byte size (width·height·3,
+    blake2b-keyed by the source payload) so batching and byte-volume
+    behavior are exercised hermetically. Inject ``resizer=`` (PIL-based)
+    where the library exists; ``require_real_resizer=True`` refuses to
+    fake."""
+    if require_real_resizer and resizer is None:
+        raise NotImplementedError(
+            "no real image codec available in this environment; "
+            "inject resizer=... (PIL-based) to resize for real"
+        )
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        key = hashlib.blake2b(payload or b"", digest_size=32).digest()
+        need = w * h * 3
+        return (key * (need // 32 + 1))[:need]
+
+    rz = resizer or _fake_resize
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        rz(p if p is not None else b"", width, height)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    pruned = media.filter(F.col("modality") == "image").select(
+        "media_id", "mime", "payload"
+    )
+    return pruned.mapInPandas(_run, schema=_RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts) —
     the distribution-side half of frame extraction (the codec half is the
