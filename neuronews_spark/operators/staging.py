@@ -76,8 +76,11 @@ def stg_news_mapping(raw_news: DataFrame, stg_news: DataFrame) -> DataFrame:
         "url",
         F.col("source").alias("source_name"),
     )
+    # one row per article on BOTH sides — a plain equi-join on the
+    # regenerated key (never force-broadcast: the staging model is
+    # corpus-sized; AQE may still broadcast it at small scale)
     return rn.join(
-        F.broadcast(stg_news.select(F.col("article_id").alias("staging_article_id"))),
+        stg_news.select(F.col("article_id").alias("staging_article_id")),
         rn["_sk"] == F.col("staging_article_id"),
     ).select("raw_article_id", "staging_article_id", "url", "source_name")
 
@@ -97,8 +100,10 @@ def stg_entities(raw_entities: DataFrame, mapping: DataFrame) -> DataFrame:
         & F.col("created_at").isNotNull()
         & (F.col("confidence_score") >= 0.5)
     )
+    # entity instances (large) join the per-article mapping (smaller but
+    # still corpus-sized) — keyed equi-join, broadcast left to AQE
     joined = re_.join(
-        F.broadcast(mapping.select("raw_article_id", "staging_article_id")),
+        mapping.select("raw_article_id", "staging_article_id"),
         re_["article_id"] == F.col("raw_article_id"),
     )
     conf = F.col("confidence_score").cast("double")
