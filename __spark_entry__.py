@@ -996,6 +996,22 @@ def q_outlet_vectors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/eval contamination pass: documents split deterministically
+    (doc_id % 5 == 0 → eval), eval docs flagged when a jaccard ≥ 0.9
+    near-duplicate exists in train (dedup.decontaminate — the standard
+    LLM-pretraining decontamination step)."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_ = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(
+        train, eval_, "doc_id", "text", jaccard_threshold=0.9
+    )
+
+
 def q_srp_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall gate for the SRP-LSH embedding near-dup path: one row
     (n_exact, n_lsh, n_hit, recall) where n_exact is the brute-force
@@ -1868,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_dups": q_token_jaccard_dups,
         "component_stats": q_component_stats,
         "minhash_near_dups": q_minhash_near_dups,
+        "decontamination": q_decontamination,
         "pattern_entities": q_pattern_entities,
         "policy_positions": q_policy_positions,
         "stance_by_source": q_stance_by_source,
@@ -3581,6 +3598,41 @@ def oracle_sql() -> dict[str, str]:
         # fully deterministic (hash-seeded planes, fixed corpus), so the
         # pins are a regression gate valid for the driver's sf0.01
         # correctness corpus. Any drift in bucketing/verify hash-mismatches.
+        # decontamination = the minhash mirror restricted to cross-side
+        # pairs (eval = doc_id % 5 == 0); exact inverted-index Jaccard
+        "decontamination": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                     END AS shingles
+              FROM tk
+            ), nz AS (
+              SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
+            ), pairs AS (
+              SELECT id_a, id_b, jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       round(count(*)::double
+                             / (any_value(len(a.shingles)) + any_value(len(b.shingles))
+                                - count(*)), 6) AS jaccard
+                FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
+                JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+              WHERE jaccard >= 0.9
+            )
+            SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS eval_id,
+                   CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS train_id,
+                   jaccard
+            FROM pairs
+            WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+        """,
         # dbt staging port: the mirror re-derives the synthetic raw corpus
         # (same Column math as q_stg_entities) and then applies the
         # reference model's own SQL shape (stg_entities.sql:12-112)

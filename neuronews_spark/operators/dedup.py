@@ -156,6 +156,54 @@ def minhash_near_duplicates(
     ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Train/eval contamination detector: eval rows whose near-duplicate
+    (token-shingle Jaccard ≥ threshold, MinHash-LSH candidates, exact
+    verify) appears in the training set — the decontamination pass an LLM
+    data pipeline runs before training. Returns
+    (eval_id, train_id, jaccard), one row per contaminated cross-pair.
+
+    Ids must be unique across the two inputs. Built by composition: the
+    union is pushed through :func:`minhash_near_duplicates` (so all of
+    its scale machinery — bucket caps, id-only candidate shuffle, size
+    prefilter — applies) and only cross-side pairs survive; the side map
+    carries one tiny (id, side) row per doc."""
+    cols = [F.col(id_col), F.col(text_col)]
+    both = train.select(*cols).unionByName(eval_.select(*cols))
+    pairs = minhash_near_duplicates(
+        both, id_col, text_col, jaccard_threshold=jaccard_threshold,
+        **minhash_kwargs,
+    )
+    sides = train.select(
+        F.col(id_col).alias("_sid"), F.lit("train").alias("_side")
+    ).unionByName(
+        eval_.select(F.col(id_col).alias("_sid"), F.lit("eval").alias("_side"))
+    )
+    tagged = (
+        pairs.join(
+            sides.withColumnsRenamed({"_sid": "id_a", "_side": "side_a"}), "id_a"
+        )
+        .join(sides.withColumnsRenamed({"_sid": "id_b", "_side": "side_b"}), "id_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+    )
+    return tagged.select(
+        F.when(F.col("side_a") == "eval", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("eval_id"),
+        F.when(F.col("side_a") == "train", F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("train_id"),
+        "jaccard",
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash_from_hashes_udf():

@@ -352,6 +352,34 @@ def test_srp_bucket_verify_matches_pair_materialized_verify(spark):
     assert got == expect and len(expect) >= 10
 
 
+def test_decontaminate_flags_cross_set_near_dups_only(spark):
+    from neuronews_spark.operators.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame(
+        [
+            (1, base),                      # contaminates eval id 100
+            (2, base + " exactly"),         # near-dup of 1 (train-train: ignored)
+            (3, "completely different content about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [
+            (100, base),                    # exact contamination
+            (101, "novel eval text with no training overlap at all"),
+            (102, "completely different content about spark shuffles"),  # = train 3
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate(train, eval_, jaccard_threshold=0.9).collect()
+    flagged = {(r["eval_id"], r["train_id"]) for r in rows}
+    assert (100, 1) in flagged and (100, 2) in flagged
+    assert (102, 3) in flagged
+    assert all(e >= 100 and t < 100 for e, t in flagged)  # orientation
+    assert not any(e == 101 for e, _ in flagged)  # clean eval rows pass
+
+
 def test_minhash_bucket_verify_matches_pair_materialized_verify(spark):
     """Differential for the bucket-local minhash verify: same pairs+jaccard
     as materializing every within-bucket candidate and set-verifying it in
