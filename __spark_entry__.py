@@ -996,6 +996,29 @@ def q_outlet_vectors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based stratified sample of documents by source
+    (per-stratum fractions; unlisted strata dropped)."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf, "documents"),
+        "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.1},
+        id_col="doc_id",
+        seed=17,
+    ).select("doc_id", "source")
+
+
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-distribution entropy quality signal (LLM quality filter)."""
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import char_entropy
+
+    return char_entropy(_t(spark, sf, "documents"))
+
+
 def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Train/eval contamination pass: documents split deterministically
     (doc_id % 5 == 0 → eval), eval docs flagged when a jaccard ≥ 0.9
@@ -1846,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_audit": q_duplicate_audit,
         "tpch_q1": q_tpch_q1,
         "doc_quality": q_doc_quality,
+        "char_entropy": q_char_entropy,
+        "stratified_sample": q_stratified_sample,
         "degrees_events": q_degrees_events,
         "latest_event_per_user_type": q_latest_event_per_user_type,
         "fingerprint_md5": q_fingerprint_md5,
@@ -3598,6 +3623,40 @@ def oracle_sql() -> dict[str, str]:
         # fully deterministic (hash-seeded planes, fixed corpus), so the
         # pins are a regression gate valid for the driver's sf0.01
         # correctness corpus. Any drift in bucketing/verify hash-mismatches.
+        # membership is md5(seed:id) as a uniform [0,1) draw — identical
+        # math both sides, so the sample is the oracle's sample exactly
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substring(md5('17:' || doc_id::varchar), 1, 8))::bigint::double
+                    / 4294967296.0
+                  < CASE source WHEN 'src0' THEN 0.5
+                                WHEN 'src1' THEN 0.25
+                                WHEN 'src2' THEN 0.1
+                                ELSE -1.0 END
+        """,
+        # entropy fold runs over char-sorted counts on BOTH sides so the
+        # float summation order matches exactly
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents
+            ), cnts AS (
+              SELECT doc_id, ch, count(*) AS cnt
+              FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+            ), per AS (
+              SELECT doc_id,
+                     sum(cnt)::bigint AS n_chars,  -- HUGEINT would hash as float
+                     count(*) AS n_distinct_chars,
+                     list(cnt ORDER BY ch) AS dist
+              FROM cnts GROUP BY doc_id
+            )
+            SELECT doc_id, n_chars, n_distinct_chars,
+                   round(list_aggregate(
+                     list_transform(dist,
+                       c -> -(c / n_chars::double) * ln(c / n_chars::double)),
+                     'sum'), 6) AS entropy
+            FROM per
+        """,
         # decontamination = the minhash mirror restricted to cross-side
         # pairs (eval = doc_id % 5 == 0); exact inverted-index Jaccard
         "decontamination": """

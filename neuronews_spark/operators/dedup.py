@@ -574,3 +574,34 @@ def dedup_near_duplicates(
         df[id_col].cast("string") == F.col("_loser"),
         "left_anti",
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float | dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling: a row is kept iff
+    md5(seed:id)'s leading 32 bits, as a uniform [0,1) draw, fall below
+    its stratum's fraction. Unlike ``df.sample``/``sampleBy`` (RNG per
+    partition attempt), membership is a pure function of the row id —
+    stable across runs, partitionings, retries, and engines — which is
+    what a reproducible training-data pipeline needs (and what makes the
+    draw oracle-mirrorable). ``fraction`` is one float for all strata or
+    a {stratum: fraction} dict (unlisted strata are dropped)."""
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(float(2**32))
+    )
+    if isinstance(fraction, dict):
+        frac = None
+        for stratum, fr in sorted(fraction.items()):
+            cond = F.col(strata_col) == stratum
+            frac = F.when(cond, F.lit(float(fr))) if frac is None else frac.when(cond, F.lit(float(fr)))
+        frac = frac.otherwise(F.lit(-1.0))  # unlisted strata never sampled
+    else:
+        frac = F.lit(float(fraction))
+    return df.filter(u < frac)

@@ -254,3 +254,42 @@ def ner_preprocess(text: Column, max_length: int = 512) -> Column:
         F.substring(trunc, 1, last_period),
     ).otherwise(trunc)
     return F.trim(F.when(F.length(t) > limit, cut).otherwise(t))
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the cheap
+    gibberish/boilerplate signal an LLM quality-filter stacks next to the
+    length/stopword features (low entropy ⇒ repeated filler, very high ⇒
+    binary junk). Returns (id, n_chars, n_distinct_chars, entropy) with
+    entropy in nats, rounded to 6.
+
+    One explode + one groupBy; the per-document fold runs over the
+    char-sorted count list so the float summation order is deterministic
+    and oracle-mirrorable.
+    """
+    chars = F.explode(F.split(F.col(text_col), "")).alias("ch")
+    counts = (
+        df.select(F.col(id_col).alias("id"), chars)
+        .filter(F.col("ch") != "")
+        .groupBy("id", "ch")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = counts.groupBy("id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("dist"),
+    )
+    n = F.col("n_chars").cast("double")
+    ent = F.aggregate(
+        F.col("dist"),
+        F.lit(0.0),
+        lambda acc, s: acc - (s["cnt"] / n) * F.log(s["cnt"] / n),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_chars",
+        "n_distinct_chars",
+        F.round(ent, 6).alias("entropy"),
+    )

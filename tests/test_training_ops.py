@@ -352,6 +352,42 @@ def test_srp_bucket_verify_matches_pair_materialized_verify(spark):
     assert got == expect and len(expect) >= 10
 
 
+def test_stratified_sample_deterministic_and_rate(spark):
+    from neuronews_spark.operators.dedup import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s" + str(i % 2), "t") for i in range(2000)],
+        "doc_id long, strat string, text string",
+    )
+    got = stratified_sample(docs, "strat", 0.3, id_col="doc_id")
+    n = got.count()
+    assert abs(n / 2000 - 0.3) < 0.05  # uniform draw ≈ rate
+    # pure function of id: identical on re-run
+    ids1 = {r["doc_id"] for r in got.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(docs, "strat", 0.3).collect()}
+    assert ids1 == ids2
+    # dict path: unlisted strata dropped, listed ones sampled at their rate
+    part = stratified_sample(docs, "strat", {"s0": 1.0}, id_col="doc_id")
+    rows = part.collect()
+    assert len(rows) == 1000 and all(r["strat"] == "s0" for r in rows)
+
+
+def test_char_entropy_orders_quality(spark):
+    from neuronews_spark.operators.text_stats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaaaaaaaaaa"), (2, "abcdefghabcdefgh"), (3, "the cat sat on a mat")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["entropy"] == 0.0  # constant string
+    import math
+
+    assert abs(got[2]["entropy"] - math.log(8)) < 1e-6  # uniform over 8 chars
+    assert got[1]["entropy"] < got[2]["entropy"]
+    assert got[3]["n_distinct_chars"] > got[1]["n_distinct_chars"]
+
+
 def test_decontaminate_flags_cross_set_near_dups_only(spark):
     from neuronews_spark.operators.dedup import decontaminate
 
