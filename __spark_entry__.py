@@ -996,6 +996,14 @@ def q_outlet_vectors(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: shard-parallel fixed-token-budget pack ids."""
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import pack_documents
+
+    return pack_documents(_t(spark, sf, "documents"), max_tokens=512)
+
+
 def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic hash-based stratified sample of documents by source
     (per-stratum fractions; unlisted strata dropped)."""
@@ -1871,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "char_entropy": q_char_entropy,
         "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
         "degrees_events": q_degrees_events,
         "latest_event_per_user_type": q_latest_event_per_user_type,
         "fingerprint_md5": q_fingerprint_md5,
@@ -3623,6 +3632,24 @@ def oracle_sql() -> dict[str, str]:
         # fully deterministic (hash-seeded planes, fixed corpus), so the
         # pins are a regression gate valid for the driver's sf0.01
         # correctness corpus. Any drift in bucketing/verify hash-mismatches.
+        "pack_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     ('0x' || substring(md5('7:' || doc_id::varchar), 1, 8))::bigint
+                       % 8 AS shard,
+                     ceil(length(text) / 4.0)::bigint AS est_tokens
+              FROM documents)
+            SELECT doc_id, shard, est_tokens,
+                   coalesce(sum(est_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                     AS cum_before,
+                   (coalesce(sum(est_tokens) OVER (
+                     PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                    // 512)::bigint AS pack_id
+            FROM t
+        """,
         # membership is md5(seed:id) as a uniform [0,1) draw — identical
         # math both sides, so the sample is the oracle's sample exactly
         "stratified_sample": """

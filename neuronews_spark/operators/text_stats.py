@@ -293,3 +293,62 @@ def char_entropy(
         "n_distinct_chars",
         F.round(ent, 6).alias("entropy"),
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: assign documents to
+    fixed-token-budget packs. Returns
+    (id, shard, est_tokens, cum_before, pack_id).
+
+    Scale shape: packing is PER SHARD (deterministic md5 shard of the id),
+    so the running sum is a window partitioned by shard — embarrassingly
+    parallel, no global sort — matching how real packers run one stream
+    per worker. Within a shard the order is the id order and
+    ``pack_id = floor(cum_tokens_before / max_tokens)`` — the same
+    order-free equivalent of greedy first-fit used by sentence_chunks
+    (a document whose start falls in pack k belongs to pack k; packs may
+    overflow by at most one document, the standard overflow-tolerant
+    packing). est_tokens uses the repo's BPE-ish ceil(chars/4) estimate.
+    """
+    from pyspark.sql import Window
+
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    t = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long").alias(
+            "est_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return t.withColumn(
+        "cum_before", F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
+    ).withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(max_tokens)).cast("long")
+    )

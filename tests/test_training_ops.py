@@ -372,6 +372,30 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert len(rows) == 1000 and all(r["strat"] == "s0" for r in rows)
 
 
+def test_pack_documents_budget_and_shard_parallelism(spark):
+    from neuronews_spark.operators.text_stats import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "x" * 400) for i in range(200)],  # 100 est_tokens each
+        "doc_id long, text string",
+    )
+    out = pack_documents(docs, max_tokens=250, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard_pack: dict = {}
+    for r in out:
+        by_shard_pack.setdefault((r["shard"], r["pack_id"]), []).append(r)
+    # every pack starts under budget (overflow ≤ one document)
+    for rows in by_shard_pack.values():
+        assert min(x["cum_before"] for x in rows) % 250 < 250
+        total = sum(x["est_tokens"] for x in rows)
+        assert total <= 250 + 100  # budget + one-document overflow
+    # packing is per shard: multiple shards actually used
+    assert len({r["shard"] for r in out}) > 1
+    # deterministic
+    again = {(r["doc_id"], r["pack_id"]) for r in pack_documents(docs, 250, n_shards=4).collect()}
+    assert again == {(r["doc_id"], r["pack_id"]) for r in out}
+
+
 def test_char_entropy_orders_quality(spark):
     from neuronews_spark.operators.text_stats import char_entropy
 
