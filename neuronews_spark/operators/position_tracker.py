@@ -86,13 +86,20 @@ def actor_mentioned(text: Column, actor: Column) -> Column:
 def topic_mentioned(text: Column, topic: Column) -> Column:
     """Any taxonomy keyword for the position's topic label appears in the
     text; unknown labels degrade to the label itself as the keyword
-    (position_tracker.py:109-111,133-140)."""
+    (position_tracker.py:109-111,133-140).
+
+    Only *presence* is needed (never a count), so each topic's keyword
+    list compiles to ONE quoted-alternation rlike — a single compiled
+    Pattern scanning the lowered text once — instead of a ~150-term
+    Contains-OR tree (the compile-size shape that knocked the positions
+    projection off whole-stage codegen; see positions.infer_topic).
+    ``\\Q...\\E`` quoting keeps the semantics exactly 'any keyword as a
+    raw substring'."""
     low = F.lower(text)
     out = None
     for label, keywords in TOPIC_TAXONOMY:
-        hit = low.contains(keywords[0])
-        for kw in keywords[1:]:
-            hit = hit | low.contains(kw)
+        pat = "|".join("\\Q" + kw + "\\E" for kw in keywords)
+        hit = low.rlike(pat)
         out = F.when(topic == label, hit) if out is None else out.when(
             topic == label, hit
         )

@@ -152,7 +152,10 @@ def claim_score(text: Column) -> Column:
 def position_confidence(text: Column) -> Column:
     """(is_position boolean, confidence double) struct —
     positions.py:192-210 including the reference's is_claim→confidence→
-    raw-score float round trip."""
+    raw-score float round trip.  Single-expression form kept for tests
+    and ad-hoc use; extract_positions stages the identical chain through
+    materialized columns instead, because nesting it whole re-expands
+    claim_score ~29× in generated code (see extract_positions)."""
     score = claim_score(text)
     is_claim = score >= 0.5
     conf = F.when(is_claim, score).otherwise(F.lit(1.0) - score)
@@ -194,13 +197,26 @@ def extract_actor(
 def infer_topic(combined: Column) -> Column:
     """Keyword-count argmax over the taxonomy on an already-lowercased
     (title + ' ' + sentence) column; strict-majority tiebreak to the
-    earlier label; 'general' when no keyword hits (positions.py:258-273)."""
+    earlier label; 'general' when no keyword hits (positions.py:258-273).
+
+    Compile-small form: per-topic hits = size(filter(<literal keyword
+    array>, k -> contains(combined, k))) — one tight loop per topic in
+    the generated code instead of a ~150-branch Contains-CASE chain,
+    which overflowed janino's 64 KB method limit and dropped the whole
+    projection (sha1 ids, actor regexes and all) to interpreted
+    evaluation at sf0.1.  The 'general' fallback rides in the same
+    argmax as a sentinel entry with hits=1 and the lowest tiebreak
+    priority — any topic with ≥1 hit outranks it, a zero-hit row falls
+    through to it — so the struct array is evaluated exactly once (the
+    old ``when(best.hits > 0, best.label)`` referenced the argmax tree
+    twice and doubled the generated code).  Substring semantics (the
+    reference's ``kw in text``) are preserved exactly.  Callers should
+    pass an attribute (a materialized column), not a compound
+    expression: lambda bodies re-evaluate ``combined`` per element."""
     entries = []
     for i, (label, keywords) in enumerate(TOPIC_TAXONOMY):
-        zero = F.lit(0)
-        hits = zero
-        for kw in keywords:
-            hits = hits + F.when(combined.contains(kw), 1).otherwise(0)
+        kws = F.array(*[F.lit(k) for k in keywords])
+        hits = F.size(F.filter(kws, lambda k: combined.contains(k)))
         entries.append(
             F.struct(
                 hits.alias("hits"),
@@ -208,8 +224,14 @@ def infer_topic(combined: Column) -> Column:
                 F.lit(label).alias("label"),
             )
         )
-    best = F.array_max(F.array(*entries))
-    return F.when(best["hits"] > 0, best["label"]).otherwise(F.lit("general"))
+    entries.append(
+        F.struct(
+            F.lit(1).alias("hits"),
+            F.lit(-len(TOPIC_TAXONOMY)).alias("neg_idx"),
+            F.lit("general").alias("label"),
+        )
+    )
+    return F.array_max(F.array(*entries))["label"]
 
 
 def position_id(document_id: Column, actor: Column, sentence: Column) -> Column:
@@ -233,22 +255,87 @@ def extract_positions(
     """One row per position-bearing sentence: (position_id, doc, actor,
     topic, position_text, position_date?, source_type, confidence).
     Narrow projection + filter — no shuffle; at 100 TB this pipelines
-    with the sentence-explode that feeds it."""
+    with the sentence-explode that feeds it.
+
+    The confidence chain is staged through materialized columns
+    (_score → _raw → _adj) instead of one nested position_confidence
+    struct: each CASE stage re-references its predecessor 2-3×, and
+    Spark expands those references textually (subexpression elimination
+    skips conditionally-evaluated branches), so the single-expression
+    form exploded claim_score's 8 rlikes into a ~29-copy, >64 KB
+    generated method that knocked the projection off whole-stage
+    codegen.  Attribute references bound the expansion; CollapseProject
+    keeps the stages separate because each is multi-use and non-cheap.
+    Float semantics are bit-identical to position_confidence (same op
+    order, including the is_claim→confidence→raw round trip)."""
     s = F.col(sentence_col)
-    pc = position_confidence(s)
     combined = F.lower(
         F.concat_ws(" ", F.col(title_col), s) if title_col else s
     )
-    actor = extract_actor(
-        s,
-        F.col(author_col) if author_col else None,
-        F.col(source_id_col) if source_id_col else None,
-        F.col(type_col),
+    # actor patterns staged the same way: each capture is referenced 3×
+    # (two length gates + the normalisation), so the one-expression
+    # extract_actor chain carries 21 regex evaluations in a single
+    # CaseWhen — staged captures keep each generated method small
+    cap_cols = {
+        f"_cap{j}": F.regexp_replace(
+            F.trim(F.regexp_extract(s, pat, 1)), r"[,.:;]+$", ""
+        )
+        for j, pat in enumerate(ACTOR_PATTERNS)
+    }
+    actor_chain: Column | None = None
+    for j in range(len(ACTOR_PATTERNS)):
+        cap = F.col(f"_cap{j}")
+        ok = (F.length(cap) > 2) & (F.length(cap) < 80)
+        norm = F.trim(F.regexp_replace(cap, r"\s+", " "))
+        actor_chain = (
+            F.when(ok, norm) if actor_chain is None else actor_chain.when(ok, norm)
+        )
+    actor = actor_chain.otherwise(
+        F.coalesce(
+            *(
+                F.col(c)
+                for c in (author_col, source_id_col, type_col)
+                if c is not None
+            ),
+            F.lit("unknown"),
+        )
+    )
+    score = F.col("_score")
+    is_claim = score >= 0.5
+    conf = F.when(is_claim, score).otherwise(F.lit(1.0) - score)
+    raw = F.when(is_claim, conf).otherwise(F.lit(1.0) - conf)
+    adjusted = F.when(
+        F.col("_commit"), F.least(F.lit(0.95), F.col("_raw") + 0.15)
+    ).otherwise(F.col("_raw"))
+    # The keep-filter runs FIRST, directly on the sentence, in a compact
+    # provably-equivalent form — writing it over the staged columns is
+    # futile because predicate pushdown substitutes the aliases back in,
+    # re-expanding claim_score ~15× into one >64 KB Filter method.
+    # Derivation from is_pos = ¬q ∧ adj ≥ 0.45 ∧ (is_claim ∨ commit):
+    #   is_claim ⇒ raw = conf = score exactly (same CASE branches), so
+    #   adj ≥ raw = score ≥ 0.5 > 0.45 — the adj gate is vacuous;
+    #   ¬is_claim ∧ commit ⇒ raw = 1−(1−score) and adj =
+    #   least(0.95, raw+0.15), checked here with the identical float ops
+    #   (no algebraic threshold rewriting, so borderline doubles agree).
+    score_e = claim_score(s)
+    adj_nc = F.least(
+        F.lit(0.95), (F.lit(1.0) - (F.lit(1.0) - score_e)) + 0.15
+    )
+    keep = (~F.rtrim(s).endswith("?")) & (
+        (score_e >= 0.5)
+        | (s.rlike(COMMITMENT_RE) & (adj_nc >= MIN_CONFIDENCE))
     )
     out = (
-        df.withColumn("_pc", pc)
-        .filter(F.col("_pc.is_position"))
+        df.filter(keep)
+        .withColumn("_score", claim_score(s))
+        .withColumn("_commit", s.rlike(COMMITMENT_RE))
+        .withColumn("_raw", raw)
+        .withColumn("_adj", adjusted)
+        .withColumns(cap_cols)
         .withColumn("actor", actor)
+        # materialized so the 9 filter-lambdas in infer_topic probe an
+        # attribute, not a re-evaluated lower(concat_ws(...)) per element
+        .withColumn("_combined", combined)
         .select(
             position_id(F.col(doc_col).cast("string"), F.col("actor"), s).alias(
                 "position_id"
@@ -256,10 +343,10 @@ def extract_positions(
             F.col(doc_col).alias("document_id"),
             F.col(type_col).alias("source_type"),
             "actor",
-            infer_topic(combined).alias("topic"),
+            infer_topic(F.col("_combined")).alias("topic"),
             s.alias("position_text"),
             *((F.col(date_col).alias("position_date"),) if date_col else ()),
-            F.round(F.col("_pc.confidence"), 6).alias("confidence"),
+            F.round(F.col("_adj"), 6).alias("confidence"),
         )
     )
     return out
