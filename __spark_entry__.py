@@ -4144,8 +4144,8 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(
                        v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
                      row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                       ORDER BY round(list_cosine_similarity(
+                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
                        v.vec_id ASC) AS rank
               FROM embeddings v CROSS JOIN
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
@@ -4157,8 +4157,8 @@ def oracle_sql() -> dict[str, str]:
                      round(list_cosine_similarity(
                        v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS sim,
                      row_number() OVER (PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC,
+                       ORDER BY round(list_cosine_similarity(
+                         v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
                        v.vec_id ASC) AS rank
               FROM embeddings v CROSS JOIN
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)

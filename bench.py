@@ -550,6 +550,11 @@ def main() -> None:
             df = queries[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 2)
+            # drop shingle/SRP caches the dedup operators pinned for this
+            # query — they are per-plan, useless to the next query
+            from neuronews_spark.operators import dedup as _dedup
+
+            _dedup.release_caches()
 
         er_t, _n_ents = _run_er_job(spark, ER_TURNS)
         er = {

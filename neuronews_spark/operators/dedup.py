@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -27,6 +28,25 @@ from neuronews_spark.operators.text_stats import ws_tokens
 
 
 # ---------------------------------------------------------------- exact
+
+# Shingle caches pinned by minhash_near_duplicates, released on demand:
+# the operator returns a lazy plan whose three branches share the cache,
+# so only the caller knows when consumption is done.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every shingle cache pinned by minhash_near_duplicates
+    (including via decontaminate) and return how many were released.
+    Call after the returned plans have been fully consumed — long
+    driver/bench sessions otherwise accumulate corpus-sized caches and
+    lean on LRU eviction."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 
 def exact_duplicate_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -112,7 +132,13 @@ def minhash_near_duplicates(
         ),
     ).filter(F.size("shingles") > 0)
 
-    base = base.persist()  # feeds bucketing, the size table, and join-back
+    # Feeds bucketing, the size table, and join-back.  MEMORY_AND_DISK so
+    # a corpus-sized shingle table degrades to disk instead of evicting;
+    # the handle is tracked so long-lived sessions (driver loop, bench)
+    # can release it between queries via release_caches() — a lazy
+    # operator cannot unpersist after its own consumption.
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
     keyed = base.select(
         "doc",
         F.explode(
@@ -170,37 +196,37 @@ def decontaminate(
     data pipeline runs before training. Returns
     (eval_id, train_id, jaccard), one row per contaminated cross-pair.
 
-    Ids must be unique across the two inputs. Built by composition: the
-    union is pushed through :func:`minhash_near_duplicates` (so all of
-    its scale machinery — bucket caps, id-only candidate shuffle, size
-    prefilter — applies) and only cross-side pairs survive; the side map
-    carries one tiny (id, side) row per doc."""
-    cols = [F.col(id_col), F.col(text_col)]
-    both = train.select(*cols).unionByName(eval_.select(*cols))
+    Built by composition: the union is pushed through
+    :func:`minhash_near_duplicates` (so all of its scale machinery —
+    bucket caps, id-only candidate shuffle, size prefilter — applies)
+    and only cross-side pairs survive.  Ids are prefixed per side
+    internally ('t:'/'e:') and stripped on output, so an id appearing on
+    BOTH sides is handled correctly (it reports itself as contamination
+    at jaccard 1.0) instead of silently fanning out through a side-map
+    join — and the side test is a prefix check, no extra join at all."""
+    id_type = {f.name: f.dataType for f in train.schema.fields}[id_col]
+    tag = lambda side_df, p: side_df.select(  # noqa: E731
+        F.concat(F.lit(p), F.col(id_col).cast("string")).alias(id_col),
+        F.col(text_col),
+    )
+    both = tag(train, "t:").unionByName(tag(eval_, "e:"))
     pairs = minhash_near_duplicates(
         both, id_col, text_col, jaccard_threshold=jaccard_threshold,
         **minhash_kwargs,
     )
-    sides = train.select(
-        F.col(id_col).alias("_sid"), F.lit("train").alias("_side")
-    ).unionByName(
-        eval_.select(F.col(id_col).alias("_sid"), F.lit("eval").alias("_side"))
-    )
-    tagged = (
-        pairs.join(
-            sides.withColumnsRenamed({"_sid": "id_a", "_side": "side_a"}), "id_a"
+    side = lambda c: F.substring(c, 1, 2)  # noqa: E731
+    strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)  # noqa: E731
+    return (
+        pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
+        .select(
+            F.when(side(F.col("id_a")) == "e:", strip("id_a"))
+            .otherwise(strip("id_b"))
+            .alias("eval_id"),
+            F.when(side(F.col("id_a")) == "t:", strip("id_a"))
+            .otherwise(strip("id_b"))
+            .alias("train_id"),
+            "jaccard",
         )
-        .join(sides.withColumnsRenamed({"_sid": "id_b", "_side": "side_b"}), "id_b")
-        .filter(F.col("side_a") != F.col("side_b"))
-    )
-    return tagged.select(
-        F.when(F.col("side_a") == "eval", F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias("eval_id"),
-        F.when(F.col("side_a") == "train", F.col("id_a"))
-        .otherwise(F.col("id_b"))
-        .alias("train_id"),
-        "jaccard",
     )
 
 
@@ -474,14 +500,14 @@ def srp_lsh_near_dups(
     mask = (1 << r) - 1
     # persist: the frame below feeds bucket counting, both sides of the
     # candidate self-join, and the vector join-back — without pinning it
-    # the whole upstream plan (often an embed pipeline) recomputes 4×
-    from pyspark import StorageLevel
-
+    # the whole upstream plan (often an embed pipeline) recomputes 4×;
+    # tracked for release_caches() like the minhash shingle cache
     base = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
         sig(F.col(vec_col)).alias("sig"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
     band_keys = F.array(
         *[
             F.concat_ws(

@@ -235,15 +235,22 @@ def run_outlet_clustering(
     is bounded by the source-domain population, not the corpus size, but a
     mis-keyed input (e.g. doc_id as source) would otherwise pull the whole
     table into the driver."""
-    n_outlets = outlet_vectors.count()
-    if n_outlets > driver_max_outlets:
+    # Gate and collect in ONE job: limit(max+1) proves over/under the cap
+    # from the collected rows themselves — a separate count() re-ran the
+    # whole upstream per-outlet aggregation (a full corpus scan) before
+    # the collect, doubling the operator's cost on an uncached input.
+    rows = (
+        outlet_vectors.select("source", "doc_count", "vector")
+        .limit(driver_max_outlets + 1)
+        .collect()
+    )
+    if len(rows) > driver_max_outlets:
         raise ValueError(
             f"run_outlet_clustering collects one row per outlet; got "
-            f"{n_outlets} outlets > driver_max_outlets={driver_max_outlets}. "
+            f"> driver_max_outlets={driver_max_outlets} outlets. "
             "The grouping column is probably not an outlet key; pre-aggregate "
             "or raise driver_max_outlets explicitly."
         )
-    rows = outlet_vectors.select("source", "doc_count", "vector").collect()
     spark = outlet_vectors.sparkSession
     n = len(rows)
     m = np.stack([np.asarray(r["vector"], dtype=np.float64) for r in rows])

@@ -96,6 +96,10 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL — {exc}")
             failed.append(name)
+        finally:
+            from neuronews_spark.operators import dedup as _dedup
+
+            _dedup.release_caches()  # per-plan shingle/SRP caches
     if timings:
         total_s = sum(t[0] for t in timings.values())
         total_o = sum(t[1] for t in timings.values())

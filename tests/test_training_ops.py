@@ -586,3 +586,38 @@ def test_dedup_near_duplicates_drops_losers(spark):
     kept = sorted(r["doc_id"] for r in dedup_near_duplicates(docs, pairs).collect())
     # cluster {1,2,3} keeps min id 1; singletons 4, 5 survive
     assert kept == [1, 4, 5]
+
+
+def test_decontaminate_handles_id_overlap_across_sides(spark):
+    """An id present on BOTH sides used to fan out through the side-map
+    join (duplicated/mislabeled pairs); the internal per-side prefix now
+    reports it as what it is — self-contamination at jaccard 1.0."""
+    from neuronews_spark.operators.dedup import decontaminate
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    train = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    eval_ = spark.createDataFrame(
+        [(7, base), (8, "unrelated fresh words nothing shared here today")],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, eval_, jaccard_threshold=0.9)
+    rows = {(r["eval_id"], r["train_id"], r["jaccard"]) for r in out.collect()}
+    assert rows == {(7, 7, 1.0)}
+    # id dtype survives the internal string-prefix round trip
+    assert dict(out.dtypes)["eval_id"] == "bigint"
+    assert dict(out.dtypes)["train_id"] == "bigint"
+
+
+def test_minhash_release_caches(spark):
+    """minhash pins its shingle table; release_caches unpersists every
+    pinned handle exactly once."""
+    from neuronews_spark.operators import dedup
+
+    dedup.release_caches()  # drain any earlier pins
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    dedup.minhash_near_duplicates(df).collect()
+    assert dedup.release_caches() >= 1
+    assert dedup._PERSISTED == []
+    assert dedup.release_caches() == 0
