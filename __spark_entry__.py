@@ -433,6 +433,23 @@ def q_degrees_events(spark: SparkSession, sf: str) -> DataFrame:
     return degrees(edges)
 
 
+def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference metrics.py:495-574 simplified centralities (closeness /
+    reachability-betweenness / degree-propagation eigenvector) over the
+    user↔event-type graph (same edge derivation as pagerank_events).
+    max_iter=12 caps BFS depth identically on both sides (graph diameter
+    here is ≤4, so the cap never binds — it just bounds the mirrors)."""
+    _prep(spark)
+    from neuronews_spark.operators.graph import centrality_stats
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    return centrality_stats(edges, max_iter=12).orderBy("node_id")
+
+
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.dedup import embedding_cosine_pairs
@@ -1917,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "controversy_nodes": q_controversy_nodes,
         "token_jaccard_dups": q_token_jaccard_dups,
         "component_stats": q_component_stats,
+        "centrality_stats": q_centrality_stats,
         "minhash_near_dups": q_minhash_near_dups,
         "decontamination": q_decontamination,
         "pattern_entities": q_pattern_entities,
@@ -3947,6 +3965,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             WHERE doc_id::varchar NOT IN
                   (SELECT n FROM comp WHERE n <> component)
+        """,
+        # centrality_stats mirror: BFS distances via a depth-bounded
+        # recursive CTE (UNION-dedup keeps revisits finite; min(d) outside
+        # the recursion is the shortest distance; d < 12 matches the Spark
+        # side's max_iter cap, which never binds on this diameter-≤4
+        # graph).  Betweenness is the reference's reachability-pair ratio
+        # collapsed to component sizes — same derivation as the Spark
+        # operator's docstring.  All float literals cast ::double (DuckDB
+        # DECIMAL trap).
+        "centrality_stats": """
+            WITH RECURSIVE e0 AS MATERIALIZED (
+              SELECT DISTINCT 'u:' || user_id::varchar AS src,
+                              't:' || event_type AS dst
+              FROM events),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            walk(s, n, d) AS (
+              SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e)
+              UNION
+              SELECT w.s, e.dst, w.d + 1
+              FROM walk w JOIN e ON e.src = w.n WHERE w.d < 12),
+            dist AS MATERIALIZED (
+              SELECT s, n, min(d) AS d FROM walk GROUP BY s, n),
+            clo AS (
+              SELECT s AS node_id,
+                     CASE WHEN sum(d) > 0
+                          THEN count(*)::double / sum(d)
+                          ELSE 0.0::double END AS closeness
+              FROM dist WHERE d > 0 GROUP BY s),
+            comp AS MATERIALIZED (
+              SELECT s AS node_id, min(n) AS c FROM dist GROUP BY s),
+            csize AS (
+              SELECT c, count(*)::double AS sz FROM comp GROUP BY c),
+            tot AS (
+              SELECT coalesce(sum(sz * (sz - 1)), 0.0::double) AS t
+              FROM csize),
+            bet AS (
+              SELECT comp.node_id,
+                     CASE WHEN (sz - 1) * (sz - 2)
+                               + (SELECT t FROM tot) - sz * (sz - 1) > 0
+                          THEN (sz - 1) * (sz - 2)
+                               / ((sz - 1) * (sz - 2)
+                                  + (SELECT t FROM tot) - sz * (sz - 1))
+                          ELSE 0.0::double END AS betweenness
+              FROM comp JOIN csize ON comp.c = csize.c),
+            deg AS MATERIALIZED (
+              SELECT src AS n, count(*)::double AS dg FROM e GROUP BY src),
+            nn AS (SELECT count(*)::double AS c FROM deg),
+            eig AS (
+              SELECT e.src AS node_id,
+                     (any_value(d1.dg) + 0.1::double * sum(d2.dg))
+                     / ((SELECT c FROM nn) * (SELECT c FROM nn))
+                       AS eigenvector
+              FROM e JOIN deg d1 ON d1.n = e.src
+                     JOIN deg d2 ON d2.n = e.dst
+              GROUP BY e.src)
+            SELECT c.node_id,
+                   round(c.closeness, 6) AS closeness,
+                   round(b.betweenness, 6) AS betweenness,
+                   round(g.eigenvector, 6) AS eigenvector
+            FROM clo c
+            JOIN bet b ON c.node_id = b.node_id
+            JOIN eig g ON c.node_id = g.node_id
+            ORDER BY c.node_id
         """,
         "pagerank_events": _pagerank_sql(alpha=0.85, iterations=10),
         "top_influencers": _pagerank_sql(

@@ -110,6 +110,186 @@ def top_influencers(edges: DataFrame, k: int = 10, **pr_kwargs) -> DataFrame:
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Unweighted shortest-path distances over the UNDIRECTED view of
+    ``edges(src, dst)`` (the reference symmetrizes its adjacency,
+    ``src/api/graph/metrics.py:449-450``) — multi-source BFS as iterative
+    frontier joins, the Spark analog of ``_calculate_shortest_distances``
+    (metrics.py:618-640).
+
+    Returns ``(s, n, d)``: node ``n`` is ``d`` hops from source ``s``
+    (including the ``d=0`` self row), for every source in ``sources``
+    (default: every node → all-pairs).  Each round is one equi-join on
+    the frontier's node key + one anti-join against the visited set,
+    localCheckpointed to truncate lineage; the loop stops at the graph's
+    diameter (empty frontier) or ``max_iter``.
+
+    Scale: all-pairs state is O(N·N) rows of three scalars — fine for
+    entity/KG graphs (N = distinct entities, not corpus rows), but for a
+    100×-bigger node set pass ``sources`` as a sampled/filtered node
+    frame so state is O(|sources|·N); closeness over sampled sources is
+    the standard estimator (Eppstein-Wang).  The frontier join shuffles
+    on the node key both sides — AQE handles hub skew.
+    """
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("src").alias("node_id")).distinct()
+    if sources is not None:
+        src_col = sources.columns[0]
+        nodes = nodes.join(
+            sources.select(F.col(src_col).alias("node_id")).distinct(), "node_id"
+        )
+    visited = nodes.select(
+        F.col("node_id").alias("s"), F.col("node_id").alias("n"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, max_iter + 1):
+        nxt = (
+            frontier.join(und, frontier["n"] == und["src"])
+            .select("s", F.col("dst").alias("n"))
+            .distinct()
+            .join(visited.select("s", "n"), ["s", "n"], "left_anti")
+            .withColumn("d", F.lit(depth))
+            .localCheckpoint(eager=True)  # materialized: isEmpty + reuse
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    und.unpersist()
+    return visited
+
+
+def centrality_stats(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node_id, closeness, betweenness, eigenvector) — the reference's
+    three "simplified" per-node centralities (metrics.py:495-507), exact
+    semantics, re-derived as set-level DataFrame jobs:
+
+    * closeness (metrics.py:543-555): |reachable| / Σ dist — straight
+      aggregation over :func:`bfs_distances`.
+    * betweenness (metrics.py:513-542): the reference counts REACHABLE
+      ordered pairs (s,t) avoiding v vs those also reaching through v.
+      Undirected reachability ⇔ same connected component, so the double
+      BFS loop collapses to a component-size formula: for v in a
+      component of size c among components D,
+      ``b(v) = (c-1)(c-2) / ((c-1)(c-2) + Σ_{D≠C} |D|(|D|-1))``
+      (0 when the denominator is 0) — the O(n³) path probing becomes one
+      groupBy over the component map.  With ``sources`` set, the
+      component map comes from :func:`connected_components` (BFS rows
+      alone can't size components that contain no source).
+    * eigenvector (metrics.py:557-574): (deg(v) + 0.1·Σ_{u∈N(v)} deg(u))
+      / n² over the undirected distinct-neighbor sets.  Summation is
+      normalized to one multiply (the reference accumulates 0.1·deg
+      per neighbor in set order — equal up to float associativity).
+
+    All ratios rounded to 6 places.  Scale: BFS dominates (see
+    bfs_distances); everything else is degree joins and component
+    aggregations identical to the CC/PageRank shuffles.
+    """
+    dist = bfs_distances(edges, sources=sources, max_iter=max_iter)
+    clo = (
+        dist.filter(F.col("d") > 0)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_nr"), F.sum("d").alias("_td"))
+        .select(
+            F.col("s").alias("node_id"),
+            F.when(
+                F.col("_td") > 0, F.col("_nr").cast("double") / F.col("_td")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )
+
+    if sources is None:
+        comp = dist.groupBy("s").agg(F.min("n").alias("component"))
+        comp = comp.select(F.col("s").alias("node_id"), "component")
+    else:
+        from neuronews_spark.operators.clustering import connected_components
+
+        comp = connected_components(edges)
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    tot = csize.agg(
+        F.coalesce(
+            F.sum(F.col("sz").cast("double") * (F.col("sz") - 1)), F.lit(0.0)
+        ).alias("_t")
+    )
+    bet = (
+        comp.join(csize, "component")
+        .crossJoin(F.broadcast(tot))  # 1-row scalar join, as in pagerank
+        .select(
+            "node_id",
+            F.col("sz").cast("double").alias("_c"),
+            F.col("_t"),
+        )
+        .select(
+            "node_id",
+            F.when(
+                (F.col("_c") - 1) * (F.col("_c") - 2)
+                + F.col("_t")
+                - F.col("_c") * (F.col("_c") - 1)
+                > 0,
+                (F.col("_c") - 1)
+                * (F.col("_c") - 2)
+                / (
+                    (F.col("_c") - 1) * (F.col("_c") - 2)
+                    + F.col("_t")
+                    - F.col("_c") * (F.col("_c") - 1)
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("betweenness"),
+        )
+    )
+
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    eig = (
+        und.join(deg.withColumnsRenamed({"node_id": "src", "_deg": "_dsrc"}), "src")
+        .join(deg.withColumnsRenamed({"node_id": "dst", "_deg": "_dnbr"}), "dst")
+        .groupBy(F.col("src").alias("node_id"), F.col("_dsrc"))
+        .agg(F.sum("_dnbr").alias("_nbr_deg"))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "node_id",
+            (
+                (F.col("_dsrc") + 0.1 * F.col("_nbr_deg"))
+                / (F.col("_n") * F.col("_n"))
+            ).alias("eigenvector"),
+        )
+    )
+
+    return (
+        clo.join(bet, "node_id")
+        .join(eig, "node_id")
+        .select(
+            "node_id",
+            F.round("closeness", 6).alias("closeness"),
+            F.round("betweenness", 6).alias("betweenness"),
+            F.round("eigenvector", 6).alias("eigenvector"),
+        )
+    )
+
+
 def component_stats(components: DataFrame) -> DataFrame:
     """Cluster-size distribution of a (node_id, component) table — the
     graph-health metric the reference exposes as component counts."""
