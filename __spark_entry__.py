@@ -1303,22 +1303,49 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL decode path (round 4): seeded 24-bit BMP payloads decoded by
+    the pure-numpy codec (require_real_decoder=True — no hash fake in
+    this query), features = grayscale bilinear 4×4 grid, L2-normalized.
+    Output is sf-independent (synthetic seeded media), so the DuckDB
+    mirror pins the 22 expected rows; the codec itself is verified
+    independently by hand-built byte-level differentials in
+    tests/test_bmp_codec.py, making the pin a regression gate rather
+    than a tautology."""
     _prep(spark)
     from neuronews_spark.operators.multimodal import decode_features, synthetic_media
 
-    media = synthetic_media(spark, n=64)
-    return decode_features(media).select("media_id", "modality", "n_bytes")
+    media = synthetic_media(spark, n=64, image_format="bmp").filter(
+        F.col("modality") == "image"
+    )
+    feats = decode_features(media, require_real_decoder=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f_first"),
+        F.round(
+            F.aggregate(
+                "feature", F.lit(0.0), lambda a, x: a + x.cast("double")
+            ),
+            6,
+        ).alias("f_sum"),
+    )
 
 
 def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL resize path (round 4): BMP decode → bilinear 16×12 →
+    re-encode, all pure numpy (require_real_resizer=True).  The md5 of
+    every output payload is pinned in the mirror — byte-exact across
+    runs/platforms because the codec is integer/float64-deterministic
+    (see functions/bmp.py conventions)."""
     _prep(spark)
     from neuronews_spark.operators.multimodal import resize_images, synthetic_media
 
-    media = synthetic_media(spark, n=64)
-    out = resize_images(media, width=16, height=12)
+    media = synthetic_media(spark, n=64, image_format="bmp")
+    out = resize_images(media, width=16, height=12, require_real_resizer=True)
     return out.select(
         "media_id", "mime", "width", "height",
         F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
@@ -4245,6 +4272,69 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings v CROSS JOIN
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
             WHERE rank <= 5
+        """,
+        # media_* mirrors: the query output is sf-independent (seeded
+        # synthetic BMP media), so the mirror pins the expected rows as
+        # VALUES.  The pins are NOT self-referential: the codec behind
+        # them is verified by hand-built byte-level differentials
+        # (tests/test_bmp_codec.py — hand-assembled BMP files, hand-
+        # computed bilinear values), so these act as cross-engine
+        # regression gates on the real decode/resize path.
+        "media_features": """
+            SELECT media_id, n_bytes::int AS n_bytes,
+                   f_first_d::double AS f_first, f_sum_d::double AS f_sum
+            FROM (VALUES
+              ('m0000', 198, 0.178793, 3.918885),
+              ('m0003', 378, 0.324783, 3.87724),
+              ('m0006', 582, 0.295385, 3.786982),
+              ('m0009', 246, 0.258174, 3.965779),
+              ('m0012', 450, 0.303997, 3.861742),
+              ('m0015', 362, 0.156664, 3.835437),
+              ('m0018', 294, 0.196603, 3.843795),
+              ('m0021', 270, 0.116097, 3.877998),
+              ('m0024', 450, 0.288541, 3.838587),
+              ('m0027', 342, 0.331448, 3.851022),
+              ('m0030', 342, 0.259846, 3.943122),
+              ('m0033', 538, 0.152496, 3.865688),
+              ('m0036', 222, 0.302549, 3.904953),
+              ('m0039', 414, 0.276265, 3.894567),
+              ('m0042', 318, 0.25415, 3.869574),
+              ('m0045', 270, 0.242289, 3.940269),
+              ('m0048', 486, 0.300726, 3.828557),
+              ('m0051', 406, 0.274415, 3.960475),
+              ('m0054', 318, 0.261956, 3.87571),
+              ('m0057', 306, 0.177428, 3.864853),
+              ('m0060', 494, 0.308264, 3.856317),
+              ('m0063', 198, 0.159119, 3.920453)
+            ) AS t(media_id, n_bytes, f_first_d, f_sum_d)
+        """,
+        "media_resize": """
+            SELECT media_id, mime, width::int AS width, height::int AS height,
+                   n_bytes::int AS n_bytes, payload_md5
+            FROM (VALUES
+              ('m0000', 'image/bmp', 16, 12, 630, '872d315d5f99e1e6675172bb0e753505'),
+              ('m0003', 'image/bmp', 16, 12, 630, '500cd308f453b82ae25d5de65edde1c1'),
+              ('m0006', 'image/bmp', 16, 12, 630, 'd4f6186785a0d2ee1747a38e5c183cb2'),
+              ('m0009', 'image/bmp', 16, 12, 630, '73af2359801d7d4bf63fc6bce806edcf'),
+              ('m0012', 'image/bmp', 16, 12, 630, 'e941bc1fddea93927ae1bdb4926f2030'),
+              ('m0015', 'image/bmp', 16, 12, 630, '6fed6b1a1b9f9f5f29c678f46c8a37b1'),
+              ('m0018', 'image/bmp', 16, 12, 630, '42f3bb08a50a88f223177d6bdb5e6611'),
+              ('m0021', 'image/bmp', 16, 12, 630, 'c0ca5d7a5a89a5c1ac77a7fcdc9b15de'),
+              ('m0024', 'image/bmp', 16, 12, 630, '73cb4d722981c711fcc9babf2ce3c66e'),
+              ('m0027', 'image/bmp', 16, 12, 630, 'c514ef0864a8e64862ff0b8294fad824'),
+              ('m0030', 'image/bmp', 16, 12, 630, 'fc8f3044995c1953da8be338edffaf5d'),
+              ('m0033', 'image/bmp', 16, 12, 630, '93a6109afc96e98ff04c953d1361bb12'),
+              ('m0036', 'image/bmp', 16, 12, 630, '9701a04c81f5f532b3a98afd47a63bb3'),
+              ('m0039', 'image/bmp', 16, 12, 630, '84aa7495dd1c628347030626c7448b7b'),
+              ('m0042', 'image/bmp', 16, 12, 630, '621a440548a2900f95def48105b6ccaf'),
+              ('m0045', 'image/bmp', 16, 12, 630, '1c916b556bf9f1e6fc8e9dc99b61f58a'),
+              ('m0048', 'image/bmp', 16, 12, 630, '86bb6ce540923d1b98fb2270b2d3249e'),
+              ('m0051', 'image/bmp', 16, 12, 630, 'a8858e0c868f471070edf40811b1f43c'),
+              ('m0054', 'image/bmp', 16, 12, 630, 'a158cd9f16941bf912c2a88e99e8f5dd'),
+              ('m0057', 'image/bmp', 16, 12, 630, 'cbbb9534f22654cfed3a4486663dacb0'),
+              ('m0060', 'image/bmp', 16, 12, 630, '773af0fb425256750701fc685fe972d6'),
+              ('m0063', 'image/bmp', 16, 12, 630, '86debb3e6993430fbffa04efd303c1af')
+            ) AS t(media_id, mime, width, height, n_bytes, payload_md5)
         """,
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,

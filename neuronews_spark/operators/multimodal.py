@@ -3,11 +3,18 @@
 Images/audio/video ride through the pipeline as ``binary`` columns with a
 metadata struct (modality, mime, width/height/duration). The Spark-side
 plumbing — schema, partition-friendly batch shape, Arrow-batched
-``mapInPandas`` UDF signatures — is real and tested; the actual codec step
-is stubbed: decode libraries (PIL/ffmpeg/librosa) are not in this
-environment, so ``decode_features`` uses a deterministic hash-based fake
-feature extractor unless a real decoder is injected, and raises
-``NotImplementedError`` when ``require_real_decoder=True``.
+``mapInPandas`` UDF signatures — is real and tested.  The codec story is
+split by format:
+
+* **24-bit BMP is decoded for real** — a pure-numpy codec
+  (``functions/bmp.py``: header parse, row order, padding, BGR↔RGB,
+  nearest/bilinear resize) backs the default decoder/resizer when
+  ``require_real_decoder=True`` / ``require_real_resizer=True``, so the
+  real-codec path is exercised end to end in this environment.
+* Other formats (PNG/JPEG/WAV/MP4 — PIL/ffmpeg/librosa absent) still go
+  through the deterministic hash-based fakes unless a decoder is
+  injected; the require_real paths FAIL on such payloads at decode time
+  (ValueError from the BMP parser) rather than faking.
 """
 
 from __future__ import annotations
@@ -63,12 +70,16 @@ def decode_features(
     Runs as ``mapInPandas`` so each Python invocation sees an Arrow batch of
     payloads (the shape a real GPU/codec worker wants). Binary payloads are
     the only heavy column; everything else is pruned before the UDF.
+
+    ``require_real_decoder=True`` with no injected decoder uses the
+    built-in pure-numpy BMP feature extractor (``functions/bmp.py``) —
+    real pixel decode for 24-bit BMP payloads; any other format raises
+    ValueError at decode time instead of silently faking.
     """
     if require_real_decoder and decoder is None:
-        raise NotImplementedError(
-            "no real media decoder available in this environment; "
-            "inject decoder=... (PIL/ffmpeg-based) to decode for real"
-        )
+        from neuronews_spark.functions.bmp import bmp_features
+
+        decoder = lambda p: bmp_features(p, dim=FEATURE_DIM)  # noqa: E731
     dec = decoder or _fake_decode
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,18 +115,19 @@ def resize_images(
     payload) with payloads re-encoded at (width, height).
 
     Spark-side plumbing is real — image-row pruning, payload-only
-    projection into the UDF, output schema/metadata — while the codec is
-    stubbed like :func:`decode_features`: the fake resizer emits a
-    deterministic payload of the nominal RGB byte size (width·height·3,
-    blake2b-keyed by the source payload) so batching and byte-volume
-    behavior are exercised hermetically. Inject ``resizer=`` (PIL-based)
-    where the library exists; ``require_real_resizer=True`` refuses to
-    fake."""
+    projection into the UDF, output schema/metadata.  The default codec
+    is the deterministic blake2b fake (nominal width·height·3 payload,
+    keyed by source bytes) so batching/byte-volume behavior is exercised
+    hermetically for any mime; ``require_real_resizer=True`` with no
+    injected resizer switches to the built-in pure-numpy BMP codec
+    (decode → bilinear resize → re-encode), which decodes 24-bit BMP
+    payloads for real and raises ValueError on anything else.  Inject
+    ``resizer=`` (PIL-based) for other formats where the library
+    exists."""
     if require_real_resizer and resizer is None:
-        raise NotImplementedError(
-            "no real image codec available in this environment; "
-            "inject resizer=... (PIL-based) to resize for real"
-        )
+        from neuronews_spark.functions.bmp import bmp_resize_payload
+
+        resizer = bmp_resize_payload
 
     def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
         key = hashlib.blake2b(payload or b"", digest_size=32).digest()
@@ -161,20 +173,44 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     )
 
 
-def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synthetic_media(
+    spark, n: int = 64, seed: int = 5, image_format: str = "hash"
+) -> DataFrame:
+    """Deterministic fake media table for plumbing tests.
+
+    ``image_format="bmp"`` gives image rows REAL 24-bit BMP payloads
+    (pure-numpy encoder, seeded per-row pixel noise, per-row varying
+    dimensions incl. widths that exercise the 4-byte row padding) so the
+    real-codec decode/resize paths run end to end; audio/video payloads
+    stay opaque hash bytes either way."""
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
         modality = ["image", "audio", "video"][i % 3]
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (i % 7 + 1)
+        width = height = 64 if modality == "image" else None
+        mime = {
+            "image": "image/png", "audio": "audio/wav", "video": "video/mp4"
+        }[modality]
+        if modality == "image" and image_format == "bmp":
+            import numpy as np
+
+            width = 8 + (i % 9)   # 8..16 — odd widths hit row padding
+            height = 6 + (i % 7)  # 6..12
+            rng = np.random.default_rng(seed * 100_003 + i)
+            from neuronews_spark.functions.bmp import encode_bmp
+
+            payload = encode_bmp(
+                rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+            )
+            mime = "image/bmp"
         rows.append(
             (
                 f"m{i:04d}",
                 modality,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+                mime,
                 bytearray(payload),
-                64 if modality == "image" else None,
-                64 if modality == "image" else None,
+                width,
+                height,
                 float(i % 30 + 1) if modality != "image" else None,
             )
         )

@@ -188,11 +188,40 @@ def test_multimodal_plumbing(spark):
 
 
 def test_real_decoder_gate(spark):
+    """require_real_decoder now resolves to the built-in pure-numpy BMP
+    decoder: real pixels for BMP payloads, hard failure (never a silent
+    fake) for undecodable ones."""
+    import numpy as np
     import pytest
 
-    media = synthetic_media(spark, n=2)
-    with pytest.raises(NotImplementedError):
-        decode_features(media, require_real_decoder=True)
+    from neuronews_spark.functions.bmp import bmp_features
+
+    # hash-garbage payloads (mime image/png) are not decodable → the job
+    # fails at decode time instead of faking
+    garbage = synthetic_media(spark, n=3)
+    with pytest.raises(Exception, match="BMP"):
+        decode_features(garbage, require_real_decoder=True).collect()
+
+    # real BMP payloads decode for real — differential vs the kernel
+    # (image rows only: the decoder applies to every row it is given)
+    media = synthetic_media(spark, n=9, image_format="bmp").filter(
+        F.col("modality") == "image"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in decode_features(media, require_real_decoder=True).collect()
+    }
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("modality") == "image").collect()
+    }
+    assert rows and set(rows) == set(src)
+    for mid, payload in src.items():
+        np.testing.assert_allclose(
+            np.array(rows[mid]["feature"], dtype=np.float32),
+            bmp_features(payload),
+            rtol=1e-6,
+        )
 
 
 def test_resize_images_plumbing(spark):
@@ -210,12 +239,38 @@ def test_resize_images_plumbing(spark):
     again = {r["media_id"]: bytes(r["payload"]) for r in resize_images(media, 8, 6).collect()}
     first = {r["media_id"]: bytes(r["payload"]) for r in out}
     assert first == again
-    # a real-codec injection point that refuses to fake
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 8, 6, require_real_resizer=True)
+    # require_real over undecodable payloads fails instead of faking
+    with pytest.raises(Exception, match="BMP"):
+        resize_images(media, 8, 6, require_real_resizer=True).collect()
     # injected resizer is actually used
     got = resize_images(media, 4, 4, resizer=lambda p, w, h: b"x" * (w * h)).collect()
     assert all(bytes(r["payload"]) == b"x" * 16 for r in got)
+
+
+def test_resize_images_real_bmp_path(spark):
+    """require_real_resizer over BMP media: output payloads are valid
+    BMPs at the target dims, equal to the kernel resize of the source."""
+    import numpy as np
+
+    from neuronews_spark.functions.bmp import decode_bmp, resize_bilinear
+    from neuronews_spark.operators.multimodal import resize_images
+
+    media = synthetic_media(spark, n=12, image_format="bmp")
+    out = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_images(media, 8, 6, require_real_resizer=True).collect()
+    }
+    src = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.filter(F.col("modality") == "image").collect()
+    }
+    assert set(out) == set(src) and out
+    for mid, payload in src.items():
+        got = decode_bmp(out[mid])
+        assert got.shape == (6, 8, 3)
+        np.testing.assert_array_equal(
+            got, resize_bilinear(decode_bmp(payload), 8, 6)
+        )
 
 
 def test_lang_id_and_quality(spark):
