@@ -10,6 +10,8 @@ rlike → 0.7, negative → 0.3, else 0.5; label by 0.6/0.4 cuts).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -265,33 +267,48 @@ def char_entropy(
     binary junk). Returns (id, n_chars, n_distinct_chars, entropy) with
     entropy in nats, rounded to 6.
 
-    One explode + one groupBy; the per-document fold runs over the
-    char-sorted count list so the float summation order is deterministic
-    and oracle-mirrorable.
+    Per-row Arrow kernel (round 4): the previous form exploded one row
+    per CHARACTER before an (id, ch) groupBy — map-side combine bounded
+    the shuffle to ~distinct-chars/doc, but the explode still
+    materialized n_chars internal rows for a quantity that is purely
+    per-document.  Now a pandas UDF bincounts each document's
+    codepoints in one pass (np.unique over UTF-32 codes) and folds
+    −Σ p·ln p LEFT-TO-RIGHT over the codepoint-sorted counts — the
+    identical float op order as the old fold over the char-sorted count
+    list, so output hashes are unchanged (differential pytest).  Zero
+    fan-out, zero shuffle (the old plan shuffled (id, ch) pairs); the
+    DuckDB driver mirror keeps the explode+groupBy shape.  Docs with
+    NULL/empty text are absent from the output, as before (the explode
+    produced no rows for them).
     """
-    chars = F.explode(F.split(F.col(text_col), "")).alias("ch")
-    counts = (
-        df.select(F.col(id_col).alias("id"), chars)
-        .filter(F.col("ch") != "")
-        .groupBy("id", "ch")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    per_doc = counts.groupBy("id").agg(
-        F.sum("cnt").alias("n_chars"),
-        F.count(F.lit(1)).alias("n_distinct_chars"),
-        F.array_sort(F.collect_list(F.struct("ch", "cnt"))).alias("dist"),
-    )
-    n = F.col("n_chars").cast("double")
-    ent = F.aggregate(
-        F.col("dist"),
-        F.lit(0.0),
-        lambda acc, s: acc - (s["cnt"] / n) * F.log(s["cnt"] / n),
-    )
-    return per_doc.select(
-        F.col("id").alias(id_col),
-        "n_chars",
-        "n_distinct_chars",
-        F.round(ent, 6).alias("entropy"),
+    @F.pandas_udf("n_chars bigint, n_distinct_chars bigint, entropy double")
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        import math
+
+        rows = []
+        for s in texts:
+            codes = np.frombuffer((s or "").encode("utf-32-le"), dtype=np.uint32)
+            _, cnts = np.unique(codes, return_counts=True)
+            n = float(codes.size)
+            ent = 0.0
+            for c in cnts:  # left-to-right, matching the old fold order
+                p = c / n
+                ent = ent - p * math.log(p)
+            rows.append((int(codes.size), int(cnts.size), ent))
+        return pd.DataFrame(rows, columns=["n_chars", "n_distinct_chars", "entropy"])
+
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(
+            F.col(id_col),
+            _stats(F.col(text_col)).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("_s.n_chars").alias("n_chars"),
+            F.col("_s.n_distinct_chars").alias("n_distinct_chars"),
+            F.round(F.col("_s.entropy"), 6).alias("entropy"),
+        )
     )
 
 

@@ -676,3 +676,57 @@ def test_minhash_release_caches(spark):
     assert dedup.release_caches() >= 1
     assert dedup._PERSISTED == []
     assert dedup.release_caches() == 0
+
+
+def test_char_entropy_kernel_matches_explode_form(spark):
+    """Differential: the round-4 per-row Arrow kernel vs the original
+    explode+groupBy plan (still the DuckDB mirror's shape) — byte-equal
+    output on real corpus text plus unicode/empty edge cases."""
+    from pyspark.sql import functions as F2
+    from neuronews_spark.operators.text_stats import char_entropy
+
+    def explode_form(df, id_col="doc_id", text_col="text"):
+        chars = F2.explode(F2.split(F2.col(text_col), "")).alias("ch")
+        counts = (
+            df.select(F2.col(id_col).alias("id"), chars)
+            .filter(F2.col("ch") != "")
+            .groupBy("id", "ch")
+            .agg(F2.count(F2.lit(1)).alias("cnt"))
+        )
+        per_doc = counts.groupBy("id").agg(
+            F2.sum("cnt").alias("n_chars"),
+            F2.count(F2.lit(1)).alias("n_distinct_chars"),
+            F2.array_sort(F2.collect_list(F2.struct("ch", "cnt"))).alias("dist"),
+        )
+        n = F2.col("n_chars").cast("double")
+        ent = F2.aggregate(
+            F2.col("dist"),
+            F2.lit(0.0),
+            lambda acc, s: acc - (s["cnt"] / n) * F2.log(s["cnt"] / n),
+        )
+        return per_doc.select(
+            F2.col("id").alias(id_col),
+            "n_chars",
+            "n_distinct_chars",
+            F2.round(ent, 6).alias("entropy"),
+        )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (90001, "aaaa"),
+            (90002, "abcdefgh"),
+            (90003, "héllo wörld ünïcode ééé"),
+            (90004, ""),            # dropped by both forms
+            (90005, None),          # dropped by both forms
+        ],
+        "doc_id long, text string",
+    )
+    docs = corpus.select("doc_id", "text").unionByName(extra)
+    new = {r["doc_id"]: tuple(r) for r in char_entropy(docs).collect()}
+    old = {r["doc_id"]: tuple(r) for r in explode_form(docs).collect()}
+    assert new == old
+    assert 90004 not in new and 90005 not in new
+    # and the new plan has no per-char fan-out: no Generate/explode node
+    plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
