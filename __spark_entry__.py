@@ -1297,9 +1297,42 @@ def q_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     # full probe (n_probe = n_centroids) drives the whole IVF machinery —
     # centroid sampling, cell assignment, probe join — through a setting
     # where the result is provably exact, so the brute-force SQL mirror is
-    # a true oracle; pruned-probe recall is pytest-gated
-    # (tests/test_training_ops.py)
+    # a true oracle; pruned-probe recall is driver-gated by q_ivf_recall
+    # and pytest-gated (tests/test_training_ops.py)
     return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=16)
+
+
+def q_ivf_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial-probe IVF recall gate (n_probe=8 of 16 centroids — half
+    the cells, measured recall 0.76-0.80 across the three corpora; the
+    shallow curve vs probe count is what hash-sampled, non-kmeans
+    centroids buy on this synthetic 64-dim corpus): one row (n_truth,
+    n_hit, recall) comparing the approximate top-5 id set per query
+    against the brute-force cosine truth — the srp_recall pattern.  The
+    truth denominator is SQL-exact in the mirror; the IVF hit count is
+    deterministic (xxhash-sampled centroids, fixed seed + corpus) and
+    pinned per corpus via _corpus_pin, so any drift in centroid
+    sampling, cell assignment, or the probe join hash-mismatches."""
+    _prep(spark)
+    from neuronews_spark.operators.similarity_search import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    truth = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = ivf_topk(
+        emb, queries, k=5, n_centroids=16, n_probe=8
+    ).select("query_id", "vec_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = approx.join(truth, ["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return n_truth.crossJoin(n_hit).select(  # two 1-row scalar frames
+        "n_truth",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -1971,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "claim_evidence": q_claim_evidence,
         "er_lev_pairs": q_er_lev_pairs,
         "ivf_topk": q_ivf_topk,
+        "ivf_recall": q_ivf_recall,
         "top_influencers": q_top_influencers,
         "pagerank_events": q_pagerank_events,
         "outlet_transparency": q_outlet_transparency,
@@ -4259,6 +4293,26 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings v CROSS JOIN
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
             WHERE rank <= 5
+        """,
+        # partial-probe recall gate: truth denominator is brute-force
+        # SQL; the deterministic IVF hit count is pinned per corpus
+        # (srp_recall pattern) — measured at n_probe=8/16
+        "ivf_recall": f"""
+            WITH truth AS (
+              SELECT query_id, vec_id FROM (
+                SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY round(list_cosine_similarity(
+                           v.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) DESC,
+                         v.vec_id ASC) AS rank
+                FROM embeddings v CROSS JOIN
+                     (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
+              WHERE rank <= 5)
+            SELECT count(*) AS n_truth,
+                   {_corpus_pin({6000: 20, 60000: 19, 600000: 19})}::bigint AS n_hit,
+                   round({_corpus_pin({6000: 20, 60000: 19, 600000: 19})}::double
+                         / count(*), 6) AS recall
+            FROM truth
         """,
         "cosine_top5": """
             SELECT query_id, vec_id, sim, rank FROM (
