@@ -105,7 +105,13 @@ class EntityResolutionPipeline:
     # -- stage helpers ----------------------------------------------------
 
     def _stage(self, name: str, fingerprint: str, build, persist: bool = True) -> DataFrame:
+        resumed = False
         if self.ckpt is not None:
+            # recorded BEFORE run(): a crash-resumed job emits one lineage
+            # row per stage it skipped, so the resume is auditable from
+            # the lineage table alone (north rule: per-partition lineage +
+            # metrics with checkpoint resumability)
+            resumed = self.ckpt.has(name, fingerprint)
             df = self.ckpt.run(name, fingerprint, build)
         else:
             # stages that fan out to ≥2 consumers are pinned so the
@@ -119,6 +125,8 @@ class EntityResolutionPipeline:
             if persist:
                 df = df.persist()
         if self.lineage is not None:
+            if resumed:
+                self.lineage.scalar(name, "resumed_from_checkpoint", 1.0)
             self.lineage.partition_counts(name, df)
         return df
 

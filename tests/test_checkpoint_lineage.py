@@ -96,3 +96,72 @@ def test_pipeline_writes_lineage_with_capped_blocks(spark, tmp_path):
     metrics = {r["metric"] for r in lin.collect()}
     assert "partition_rows" in metrics
     assert "capped_block" in metrics  # dropped blocks are reported, not silent
+
+
+def test_crash_between_scoring_and_clustering_resumes_byte_identical(
+    spark, tmp_path, monkeypatch
+):
+    """North-rule resumability as tested behavior: the job is killed
+    after scoring completes but before clustering does; re-running with
+    the same workdir+fingerprint (a) never re-executes the completed
+    stages, (b) produces byte-identical entities to an uninterrupted
+    run, and (c) leaves lineage rows recording exactly which stages were
+    resumed from checkpoint."""
+    import pytest
+
+    import neuronews_spark.pipeline as P
+
+    t = synthetic_transcripts(spark, n_turns=400, turns_per_conv=10)
+
+    # ---- uninterrupted control run in its own workdir
+    control = EntityResolutionPipeline(
+        spark, PipelineConfig(workdir=str(tmp_path / "control"), run_id="c")
+    ).run(t, fingerprint="v1")
+    control_rows = sorted(map(tuple, control.entities.collect()))
+    assert control_rows
+
+    # ---- run 1: crash inside the clustering stage
+    wd = str(tmp_path / "er")
+    real_cc = P.components_for_vertices
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before clustering")
+
+    monkeypatch.setattr(P, "components_for_vertices", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        EntityResolutionPipeline(
+            spark, PipelineConfig(workdir=wd, run_id="r1")
+        ).run(t, fingerprint="v1")
+    monkeypatch.setattr(P, "components_for_vertices", real_cc)
+
+    # scoring (and everything before it) is durably checkpointed;
+    # clustering/entities are not
+    for stage in ["conversations", "mentions", "vertices", "blocking", "scoring", "edges"]:
+        assert os.path.exists(os.path.join(wd, stage, "MANIFEST.json")), stage
+    for stage in ["clustering", "entities"]:
+        assert not os.path.exists(os.path.join(wd, stage, "MANIFEST.json")), stage
+
+    # ---- run 2: same workdir — completed stages must NOT re-execute
+    calls = {"n": 0}
+    real_score = P.score_pairs
+
+    def counting_score(*a, **k):
+        calls["n"] += 1
+        return real_score(*a, **k)
+
+    monkeypatch.setattr(P, "score_pairs", counting_score)
+    pipe2 = EntityResolutionPipeline(
+        spark, PipelineConfig(workdir=wd, run_id="r2")
+    )
+    res2 = pipe2.run(t, fingerprint="v1")
+    resumed_rows = sorted(map(tuple, res2.entities.collect()))
+    assert calls["n"] == 0  # scoring came from the checkpoint
+    assert resumed_rows == control_rows  # byte-identical entities
+
+    # ---- lineage records the resume per skipped stage
+    lin = pipe2.lineage.read().filter(
+        (F.col("metric") == "resumed_from_checkpoint") & (F.col("run_id") == "r2")
+    )
+    resumed_stages = {r["stage"] for r in lin.collect()}
+    assert {"conversations", "mentions", "vertices", "blocking", "scoring", "edges"} <= resumed_stages
+    assert "clustering" not in resumed_stages and "entities" not in resumed_stages
