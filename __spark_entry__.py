@@ -433,6 +433,25 @@ def q_degrees_events(spark: SparkSession, sf: str) -> DataFrame:
     return degrees(edges)
 
 
+def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters over documents.  The corpus has
+    no newlines, so the query first injects one after every 5th token —
+    same deterministic rewrite on both engines (Java `$1` vs RE2 `\\1`
+    replacement syntax, identical match semantics) — then runs the
+    per-row kernel; the mirror recomputes with explode+groupBy."""
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import repetition_stats
+
+    docs = _t(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){4}\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    return repetition_stats(lined)
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2007,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "timeline_linkage": q_timeline_linkage,
         "duplicate_audit": q_duplicate_audit,
         "char_entropy": q_char_entropy,
+        "repetition_stats": q_repetition_stats,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -4333,6 +4353,63 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings v CROSS JOIN
                    (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q)
             WHERE rank <= 5
+        """,
+        # repetition filters: explode+groupBy recomputation of the
+        # per-row kernel; every fraction is a single integer ratio, so
+        # no float-order hazard.  range(1, len(tk)) gives 1-based bigram
+        # starts i with i+1 <= len (DuckDB range is half-open).
+        "repetition_stats": """
+            WITH lined AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\S+\s+){4}\S+)\s+',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            lines AS MATERIALIZED (
+              SELECT doc_id, line FROM (
+                SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line
+                FROM lined)
+              WHERE line <> ''),
+            lcount AS (
+              SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+            lagg AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     sum(c * length(line)) AS tot_line_chars,
+                     sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_extra,
+                     sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+                              ELSE 0 END) AS dup_chars
+              FROM lcount GROUP BY 1),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS tk,
+                     length(t) AS tlen
+              FROM lined),
+            bigr AS (
+              SELECT doc_id, tlen,
+                     unnest(list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i + 1])) AS bg
+              FROM toks WHERE len(tk) >= 2),
+            bcount AS (
+              SELECT doc_id, any_value(tlen) AS tlen, bg, count(*) AS c
+              FROM bigr GROUP BY doc_id, bg),
+            btop AS (
+              SELECT doc_id, tlen, bg, c,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, bg ASC) AS rn
+              FROM bcount),
+            bsel AS (
+              SELECT doc_id, (c * length(bg))::double / tlen AS top_frac
+              FROM btop WHERE rn = 1)
+            SELECT l.doc_id,
+                   l.n_lines::bigint AS n_lines,
+                   round(l.dup_extra::double / l.n_lines, 6) AS dup_line_frac,
+                   round(CASE WHEN l.tot_line_chars > 0
+                              THEN l.dup_chars::double / l.tot_line_chars
+                              ELSE 0.0::double END, 6) AS dup_line_char_frac,
+                   round(coalesce(b.top_frac, 0.0::double), 6)
+                     AS top_bigram_char_frac
+            FROM lagg l LEFT JOIN bsel b USING (doc_id)
         """,
         # media_* mirrors: the query output is sf-independent (seeded
         # synthetic BMP media), so the mirror pins the expected rows as

@@ -312,6 +312,86 @@ def char_entropy(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1 family):
+    per-document duplicate-line and top-bigram fractions — the standard
+    pretraining quality signals for boilerplate/template text, stacked
+    next to doc_quality/char_entropy in an LLM data pipeline.
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram_char_frac), all fractions rounded to 6:
+
+    * lines = newline-split, trimmed, empties dropped.  dup_line_frac =
+      Σ_(line value with count c>1) (c−1) / n_lines — the fraction of
+      lines that repeat an earlier occurrence; dup_line_char_frac is the
+      same weighted by line length over total line chars.
+    * top_bigram_char_frac = count(top bigram) · len(top bigram) /
+      len(text), bigrams over whitespace tokens, ties broken to the
+      lexicographically smallest bigram (deterministic).
+
+    Per-row Arrow kernel like char_entropy — per-document quantities
+    need zero fan-out and zero shuffle; every fraction is one integer
+    ratio (single division), so there is no float-summation-order
+    hazard and the DuckDB mirror (explode + groupBy shape) matches
+    exactly.  Docs with NULL/empty text are dropped, as in char_entropy.
+    """
+
+    @F.pandas_udf(
+        "n_lines bigint, dup_line_frac double, dup_line_char_frac double, "
+        "top_bigram_char_frac double"
+    )
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for text in texts:
+            text = text or ""
+            lines = [s for s in (p.strip() for p in text.split("\n")) if s]
+            lc = Counter(lines)
+            n_lines = len(lines)
+            dup_extra = sum(c - 1 for c in lc.values() if c > 1)
+            dup_chars = sum((c - 1) * len(v) for v, c in lc.items() if c > 1)
+            tot_line_chars = sum(len(v) for v in lines)
+            toks = text.split()
+            big = Counter(
+                toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+            )
+            if big and len(text) > 0:
+                top, topc = min(big.items(), key=lambda kv: (-kv[1], kv[0]))
+                top_frac = topc * len(top) / len(text)
+            else:
+                top_frac = 0.0
+            rows.append(
+                (
+                    n_lines,
+                    dup_extra / n_lines if n_lines else 0.0,
+                    dup_chars / tot_line_chars if tot_line_chars else 0.0,
+                    top_frac,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_lines", "dup_line_frac", "dup_line_char_frac",
+                "top_bigram_char_frac",
+            ],
+        )
+
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col), _stats(F.col(text_col)).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_lines").alias("n_lines"),
+            F.round("_s.dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("_s.dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            F.round("_s.top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+        )
+    )
+
+
 def pack_documents(
     df: DataFrame,
     max_tokens: int,

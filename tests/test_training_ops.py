@@ -730,3 +730,38 @@ def test_char_entropy_kernel_matches_explode_form(spark):
     # and the new plan has no per-char fan-out: no Generate/explode node
     plan = char_entropy(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition filters vs hand-worked values."""
+    from neuronews_spark.operators.text_stats import repetition_stats
+
+    rows = [
+        # 4 lines: "ab" ×3 (dup_extra=2), "cd" ×1 → dup_line_frac=2/4;
+        # dup chars = 2·2=4 over total line chars 8 → 0.5;
+        # tokens: ab ab ab cd → bigrams: "ab ab"×2, "ab cd"×1; top =
+        # "ab ab" (5 chars) ×2 = 10 / len(text)=11 → 0.909091
+        (1, "ab\nab\nab\ncd"),
+        # all-unique lines and bigrams: dups 0; top bigram "aa bb"
+        # (count 1, lexicographically smallest) 5/11
+        (2, "aa bb\ncc dd"),
+        # single token: no bigrams → 0.0; one line
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.5
+    assert got[1]["dup_line_char_frac"] == 0.5
+    assert got[1]["top_bigram_char_frac"] == round(10 / 11, 6)
+    assert got[2]["n_lines"] == 2
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["dup_line_char_frac"] == 0.0
+    assert got[2]["top_bigram_char_frac"] == round(5 / 11, 6)
+    assert got[3]["n_lines"] == 1
+    assert got[3]["top_bigram_char_frac"] == 0.0
+    # empty/null text rows are dropped, as in char_entropy
+    empties = spark.createDataFrame(
+        [(4, ""), (5, None)], "doc_id long, text string"
+    )
+    assert repetition_stats(empties).count() == 0
