@@ -452,6 +452,31 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(lined)
 
 
+def q_line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style corpus-wide line dedup + reassembly over documents
+    (newline injection as in repetition_stats).  Output carries
+    md5(text) instead of the reassembled text so the compare payload
+    stays small; the mirror recomputes first-occurrence-wins with a
+    window and string_agg(ORDER BY idx)."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import dedup_lines_across_corpus
+
+    docs = _t(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){4}\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    out = dedup_lines_across_corpus(lined)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_lines_dropped",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+    )
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2027,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_audit": q_duplicate_audit,
         "char_entropy": q_char_entropy,
         "repetition_stats": q_repetition_stats,
+        "line_dedup_docs": q_line_dedup_docs,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -4410,6 +4436,44 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(b.top_frac, 0.0::double), 6)
                      AS top_bigram_char_frac
             FROM lagg l LEFT JOIN bsel b USING (doc_id)
+        """,
+        # corpus-wide line dedup mirror: first occurrence = row_number
+        # over (doc_id, idx) per line value; reassembly via
+        # string_agg(ORDER BY idx); md5 compared instead of full text.
+        # Parallel unnests zip in DuckDB, giving the 0-based line index
+        # that matches posexplode.
+        "line_dedup_docs": """
+            WITH lined AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(text, '((?:\\S+\\s+){4}\\S+)\\s+',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) > 0),
+            lines0 AS (
+              SELECT doc_id,
+                     unnest(range(len(l))) AS idx,
+                     unnest(list_transform(l, x -> trim(x))) AS line
+              FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM lined)),
+            lines AS MATERIALIZED (
+              SELECT doc_id, idx, line FROM lines0 WHERE line <> ''),
+            win AS (
+              SELECT doc_id, idx, line,
+                     row_number() OVER (PARTITION BY line
+                       ORDER BY doc_id, idx) AS rn
+              FROM lines),
+            kept AS (SELECT doc_id, idx, line FROM win WHERE rn = 1),
+            reass AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     md5(string_agg(line, chr(10) ORDER BY idx)) AS text_md5
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(r.n_kept, 0)::bigint AS n_lines_kept,
+                   (t.n_total - coalesce(r.n_kept, 0))::bigint
+                     AS n_lines_dropped,
+                   coalesce(r.text_md5, md5('')) AS text_md5
+            FROM tot t LEFT JOIN reass r USING (doc_id)
         """,
         # media_* mirrors: the query output is sf-independent (seeded
         # synthetic BMP media), so the mirror pins the expected rows as

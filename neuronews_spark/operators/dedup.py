@@ -182,6 +182,66 @@ def minhash_near_duplicates(
     ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
+def dedup_lines_across_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style corpus-wide line dedup (Raffel et al. 2020: any line
+    occurring more than once in the corpus is kept only at its first
+    occurrence): split every document into trimmed non-empty lines,
+    keep each distinct line's first occurrence — minimum (doc id, line
+    index) lexicographically — drop every other occurrence, and
+    reassemble the surviving lines in original order.  Returns
+    (id, text, n_lines_kept, n_lines_dropped); documents whose lines
+    are all dropped still appear, with empty text.
+
+    Plan shape: posexplode → ONE shuffle keyed on the line value with a
+    min-struct aggregate (map-side combine collapses per-partition
+    repeats, so the shuffle is bounded by distinct-line cardinality,
+    not total lines), a semi-join of (doc, idx) winners back onto the
+    exploded rows, then one groupBy-on-doc reassembly.  No text
+    payload rides the value-keyed shuffle beyond one copy per distinct
+    line.  At 100 TB this is the canonical two-shuffle dedup topology;
+    hot lines (boilerplate repeated millions of times) collapse
+    map-side, so the value shuffle is skew-resistant by construction.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("_idx", "_raw"),
+        )
+        .select("_id", "_idx", F.trim("_raw").alias("_line"))
+        .filter(F.col("_line") != "")
+    )
+    winners = (
+        lines.groupBy("_line")
+        .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
+        .select(F.col("_w._id").alias("_id"), F.col("_w._idx").alias("_idx"))
+    )
+    kept = lines.join(winners, ["_id", "_idx"], "left_semi")
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(reassembled, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (
+                F.col("_n_total") - F.coalesce("n_lines_kept", F.lit(0))
+            ).alias("n_lines_dropped"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_: DataFrame,

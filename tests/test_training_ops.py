@@ -765,3 +765,31 @@ def test_repetition_stats_hand_computed(spark):
         [(4, ""), (5, None)], "doc_id long, text string"
     )
     assert repetition_stats(empties).count() == 0
+
+
+def test_dedup_lines_across_corpus(spark):
+    """First occurrence (min doc_id, idx) wins corpus-wide; documents
+    reassemble in original order; fully-deduped docs keep an empty text."""
+    from neuronews_spark.operators.dedup import dedup_lines_across_corpus
+
+    rows = [
+        (1, "header\nbody one\nfooter"),
+        (2, "header\nbody two\nfooter"),   # header+footer dropped
+        (3, "header\nfooter"),             # everything dropped
+        (4, "body one\nunique"),           # body one dropped (doc1 idx1 wins)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines_across_corpus(df).collect()}
+    assert got[1]["text"] == "header\nbody one\nfooter"
+    assert (got[1]["n_lines_kept"], got[1]["n_lines_dropped"]) == (3, 0)
+    assert got[2]["text"] == "body two"
+    assert (got[2]["n_lines_kept"], got[2]["n_lines_dropped"]) == (1, 2)
+    assert got[3]["text"] == ""
+    assert (got[3]["n_lines_kept"], got[3]["n_lines_dropped"]) == (0, 2)
+    assert got[4]["text"] == "unique"
+    # duplicate line within ONE doc also keeps only the first occurrence
+    intra = spark.createDataFrame(
+        [(9, "x\ny\nx\nz")], "doc_id long, text string"
+    )
+    r = dedup_lines_across_corpus(intra).collect()[0]
+    assert r["text"] == "x\ny\nz" and r["n_lines_dropped"] == 1
