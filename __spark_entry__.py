@@ -477,6 +477,16 @@ def q_line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Lee et al. 13-gram duplicated-span coverage over documents.
+    Spark groups by xxhash64 of the gram (int-only shuffle); the mirror
+    groups by the gram string itself — equal absent a 2⁻⁶⁴ collision."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import dup_ngram_coverage
+
+    return dup_ngram_coverage(_t(spark, sf, "documents"), n=13)
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2053,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "repetition_stats": q_repetition_stats,
         "line_dedup_docs": q_line_dedup_docs,
+        "dup_ngram_coverage": q_dup_ngram_coverage,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -4474,6 +4485,46 @@ def oracle_sql() -> dict[str, str]:
                      AS n_lines_dropped,
                    coalesce(r.text_md5, md5('')) AS text_md5
             FROM tot t LEFT JOIN reass r USING (doc_id)
+        """,
+        # duplicated 13-gram coverage mirror: gram identity is the gram
+        # STRING here (tiny corpus) vs xxhash64 in the operator — equal
+        # absent a 2^-64 collision.  Coverage = distinct token indices
+        # covered by any duplicated gram's [i, i+12] span.
+        "dup_ngram_coverage": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            base AS MATERIALIZED (
+              SELECT doc_id, t, len(t) AS L FROM tk),
+            grams0 AS (
+              SELECT doc_id, t, unnest(range(L - 12)) AS i
+              FROM base WHERE L >= 13),
+            grams AS MATERIALIZED (
+              SELECT doc_id, i, array_to_string(t[i+1:i+13], ' ') AS g
+              FROM grams0),
+            dup AS MATERIALIZED (
+              SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+            dg AS MATERIALIZED (
+              SELECT doc_id, i FROM grams WHERE g IN (SELECT g FROM dup)),
+            cov AS (
+              SELECT doc_id, count(*) AS covered FROM (
+                SELECT DISTINCT doc_id, idx FROM (
+                  SELECT doc_id, i + unnest(range(13)) AS idx FROM dg))
+              GROUP BY doc_id),
+            pdd AS (
+              SELECT doc_id, count(*) AS n_dup FROM dg GROUP BY doc_id)
+            SELECT b.doc_id,
+                   b.L::bigint AS n_tokens,
+                   coalesce(p.n_dup, 0)::bigint AS n_dup_grams,
+                   coalesce(c.covered, 0)::bigint AS covered_tokens,
+                   round(CASE WHEN b.L > 0
+                              THEN coalesce(c.covered, 0)::double / b.L
+                              ELSE 0.0::double END, 6) AS dup_coverage
+            FROM base b
+            LEFT JOIN pdd p USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
         """,
         # media_* mirrors: the query output is sf-independent (seeded
         # synthetic BMP media), so the mirror pins the expected rows as

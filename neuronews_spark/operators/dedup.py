@@ -242,6 +242,86 @@ def dedup_lines_across_corpus(
     )
 
 
+def dup_ngram_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Duplicated n-gram span coverage (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": 13-gram spans repeated
+    anywhere in the corpus mark near-verbatim duplication): per document,
+    the fraction of tokens covered by some n-gram that occurs ≥2 times
+    corpus-wide (including within the same document).  Returns
+    (id, n_tokens, n_dup_grams, covered_tokens, dup_coverage).
+
+    Scale plan: gram identity travels as ``xxhash64`` of the joined
+    tokens — the duplicate-detection shuffle carries (hash, doc, pos)
+    ints only, never 13-token strings, and map-side combine collapses
+    hot boilerplate grams.  Coverage = |∪ [i, i+n-1]| per doc, computed
+    by exploding each duplicated gram into its n token indices and
+    distinct-counting — bounded by n · dup_grams rows of two ints.
+    2⁻⁶⁴ hash collisions would merge two distinct grams; deterministic
+    and negligible at any realistic corpus size (noted for the mirror,
+    which groups by the gram string itself).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).select("_id", "_t", F.size("_t").alias("_L"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
+    grams = base.filter(F.col("_L") >= n).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_L") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, n))),
+            )
+        ).alias("_i", "_h"),
+    )
+    dup = (
+        grams.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    dup_grams = grams.join(dup, "_h", "left_semi")
+    per_doc_dup = dup_grams.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_dup_grams")
+    )
+    covered = (
+        dup_grams.select(
+            "_id",
+            F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias("_x"),
+        )
+        .distinct()
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        base.select("_id", "_L")
+        .join(per_doc_dup, "_id", "left")
+        .join(covered, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_L").alias("n_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("_L") > 0,
+                    F.coalesce("covered_tokens", F.lit(0)).cast("double")
+                    / F.col("_L"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_: DataFrame,

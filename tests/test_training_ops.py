@@ -793,3 +793,31 @@ def test_dedup_lines_across_corpus(spark):
     )
     r = dedup_lines_across_corpus(intra).collect()[0]
     assert r["text"] == "x\ny\nz" and r["n_lines_dropped"] == 1
+
+
+def test_dup_ngram_coverage_planted(spark):
+    """Planted shared 5-gram across two docs; coverage = union of spans."""
+    from neuronews_spark.operators.dedup import dup_ngram_coverage
+
+    shared = "one two three four five"
+    rows = [
+        (1, shared + " alpha beta gamma"),       # tokens 0-4 covered → 5/8
+        (2, "x y " + shared + " z"),             # tokens 2-6 covered → 5/8
+        (3, "totally different words here now p q r"),
+        (4, "short text"),                       # < n tokens → no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dup_ngram_coverage(df, n=5).collect()}
+    assert got[1]["n_dup_grams"] == 1 and got[1]["covered_tokens"] == 5
+    assert got[1]["dup_coverage"] == 0.625
+    assert got[2]["covered_tokens"] == 5 and got[2]["dup_coverage"] == 0.625
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_coverage"] == 0.0
+    assert got[4]["n_tokens"] == 2 and got[4]["dup_coverage"] == 0.0
+    # overlapping dup grams union, not double-count: doc with the 5-gram
+    # twice ("one..five one..five") duplicates every window against doc 1
+    twice = spark.createDataFrame(
+        [(1, shared), (2, shared + " " + shared)], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r for r in dup_ngram_coverage(twice, n=5).collect()}
+    assert got2[2]["covered_tokens"] == 10  # full union, no double count
+    assert got2[2]["dup_coverage"] == 1.0
