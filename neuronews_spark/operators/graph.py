@@ -162,7 +162,10 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # plain union, NOT another checkpoint: every child frame is
+        # already a materialized checkpoint, so the anti-join reads
+        # cached blocks — one barrier per round instead of two
+        visited = visited.union(nxt)
         frontier = nxt
     und.unpersist()
     return visited
