@@ -385,6 +385,53 @@ def q_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    # classic 3-way analytic join (TPC-H Q3 shape): dims are broadcast
+    # explicitly — at 100 TB customer/orders remain orders of magnitude
+    # smaller than lineitem, so the fact scan never shuffles on the join
+    # keys; top-10 compiles to TakeOrderedAndProject (no global sort)
+    _prep(spark)
+    cust = _t(spark, sf, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    orders = _t(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust),
+                                    orders.o_custkey == cust.c_custkey)),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_token_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    # exact distributed percentiles (F.percentile, linear interpolation —
+    # same definition as DuckDB quantile_cont) of document length per
+    # language; one partial-aggregated shuffle on lang
+    _prep(spark)
+    d = _t(spark, sf, "documents")
+    n = F.col("n_chars").cast("double")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(n, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(n, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(n, F.lit(0.99)), 6).alias("p99"),
+    )
+
+
 def q_assemble_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.conversations import assemble_conversations
@@ -1985,6 +2032,71 @@ def q_outlet_transparency(spark: SparkSession, sf: str) -> DataFrame:
     return outlet_scores(_t(spark, sf, "documents"), claims_attr, stanced)
 
 
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    # as-of join (no reference counterpart — training/analytics-pipeline
+    # suite): for every error event, the user's latest click at-or-before
+    # it; union+window formulation = ONE shuffle on user_id (temporal.py)
+    _prep(spark)
+    from neuronews_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf, "events")
+    probe = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    build = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        probe, build, on="user_id", ts_col="ts",
+        payload_cols=["event_id", "value"], tiebreak="event_id",
+        prefix="click_",
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    # gap-based sessionization (30-min inactivity): lag + running sum over
+    # one user_id shuffle; value summed in exact integer cents so the
+    # float-sum order cannot diverge between engines (temporal.py)
+    _prep(spark)
+    from neuronews_spark.operators.temporal import session_stats
+
+    return session_stats(
+        _t(spark, sf, "events"), key="user_id", ts_col="ts",
+        gap_seconds=1800, tiebreak="event_id", value_col="value",
+    )
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    # PII detect+redact (training-data suite; pure Column regex, no UDF,
+    # no shuffle).  The synthetic corpus carries no PII, so both engines
+    # append the SAME deterministic doc_id-derived payload (email, phone,
+    # conditional SSN, IPv4) before redacting — the operator itself
+    # (operators/pii.py) takes any text column.
+    _prep(spark)
+    from neuronews_spark.operators.pii import redact_pii
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(((did * 7) % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((did * 13) % 10000).cast("string"), 4, "0"),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ssn 123-45-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit(".0."), ((did * 3) % 256).cast("string"),
+    )
+    return redact_pii(d.select("doc_id", aug.alias("text")), "text").select(
+        "doc_id", "n_email", "n_ssn", "n_phone", "n_ip", "redacted"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry iteration order IS the driver's execution order, and the
     # driver verifies oracled entries under a budget that has empirically
@@ -2077,6 +2189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlet_transparency": q_outlet_transparency,
         "position_followthrough": q_position_followthrough,
         "text_srp_recall": q_text_srp_recall,
+        "events_asof": q_events_asof,
+        "event_sessions": q_event_sessions,
+        "pii_redaction": q_pii_redaction,
+        "tpch_q3": q_tpch_q3,
+        "token_quantiles": q_token_quantiles,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4215,6 +4332,92 @@ def oracle_sql() -> dict[str, str]:
             FROM events a JOIN events b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
             WHERE abs(epoch(a.ts) - epoch(b.ts)) <= 500.0
+        """,
+        "tpch_q3": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND l_shipdate > TIMESTAMP '1999-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "token_quantiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars::double, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars::double, 0.9), 6) AS p90,
+                   round(quantile_cont(n_chars::double, 0.99), 6) AS p99
+            FROM documents GROUP BY lang
+        """,
+        # ASOF JOIN is DuckDB-native — an independent formulation of the
+        # Spark union+window plan (ties impossible: (user_id, ts) unique)
+        "events_asof": """
+            SELECT a.event_id, a.user_id, a.ts, a.value,
+                   b.ts AS click_ts, b.event_id AS click_event_id,
+                   b.value AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') a
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING)::bigint AS session_seq
+              FROM flagged)
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   sum(CAST(round(value * 100) AS BIGINT))::bigint
+                     AS sum_value_cents
+            FROM sess GROUP BY 1, 2
+        """,
+        "pii_redaction": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::varchar
+                       || '@example.com or call 555-'
+                       || lpad(((doc_id * 7) % 1000)::varchar, 3, '0')
+                       || '-'
+                       || lpad(((doc_id * 13) % 10000)::varchar, 4, '0')
+                       || CASE WHEN doc_id % 5 = 0
+                            THEN ' ssn 123-45-'
+                                 || lpad((doc_id % 10000)::varchar, 4, '0')
+                            ELSE '' END
+                       || ' from 10.' || (doc_id % 256)::varchar
+                       || '.0.' || ((doc_id * 3) % 256)::varchar AS text
+              FROM documents)
+            SELECT doc_id,
+              length(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))::int
+                AS n_email,
+              length(regexp_extract_all(text,
+                '\b\d{3}-\d{2}-\d{4}\b', 0))::int AS n_ssn,
+              length(regexp_extract_all(text,
+                '\b\d{3}-\d{3}-\d{4}\b', 0))::int AS n_phone,
+              length(regexp_extract_all(text,
+                '\b(\d{1,3}\.){3}\d{1,3}\b', 0))::int AS n_ip,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS redacted
+            FROM aug
         """,
         "sentiment_docs": f"""
             SELECT doc_id,

@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "dim_user_activity",
     "trend_7d_moving_avg",
     "cooccurrence_events",
+    "events_asof",
+    "event_sessions",
+    "pii_redaction",
     "token_jaccard_dups",
     "minhash_near_dups",
     "simhash_near_dups",

@@ -14,6 +14,23 @@ time. Both queries are a partition-prunable time filter plus one
 aggregation/top-k; on a date-partitioned lakehouse table the filter
 reaches the scan (the reference's in-memory list scan becomes partition
 pruning at scale).
+
+As-of join and gap-based sessionization live here too (no reference
+counterpart — the reference's timeline code orders and buckets events but
+never joins two streams point-in-time; both are table-stakes for the
+large-scale analytics/training pipelines this engine targets). Scale
+notes (100 TB):
+  * ``asof_join`` is the union+window formulation: ONE shuffle on the key,
+    no per-key range join and no O(probe x build) candidate blow-up. Both
+    inputs are tagged, unioned, sorted within each key by (ts, tag,
+    tiebreak), and the last build payload is carried forward with
+    ``last(..., ignorenulls=True)``. Skewed keys cost one sorted partition
+    each (same bound as any window dedup); a range-partitioned variant
+    (bucket by key + coarse time range) is the documented escalation path
+    for keys whose history exceeds one task's memory.
+  * ``sessionize`` is a lag + running-sum over the same single shuffle;
+    the gap comparison is integer microseconds (``unix_micros``) so the
+    DuckDB mirror (``epoch_us``) is bit-exact, no float-epoch hazard.
 """
 
 from __future__ import annotations
@@ -82,5 +99,106 @@ def evolving_topics(
             "n_docs",
             "source_docs",
             "rank",
+        )
+    )
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak: str,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """For every probe row, attach the build row with the greatest
+    ``ts_col`` <= the probe's ``ts_col`` within the same ``on`` key
+    (left-outer: unmatched probes keep nulls).
+
+    Build rows sharing (key, ts) are disambiguated by ``tiebreak``
+    (greatest wins) so the result is deterministic under any input order.
+    Output = all probe columns + ``prefix + ts_col`` + ``prefix + c`` for
+    each payload column.
+    """
+    payload = F.struct(
+        F.col(ts_col).alias(ts_col), *[F.col(c).alias(c) for c in payload_cols]
+    )
+    b = build.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_tag"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        payload.alias("_build"),
+    )
+    probe_cols = probe.columns
+    # the probe row travels as one typed struct so arbitrary probe schemas
+    # survive the union without column-by-column schema alignment
+    p = probe.select(
+        F.col(on),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_tag"),
+        F.col(tiebreak).cast("long").alias("_tb"),
+        F.lit(None).cast(b.schema["_build"].dataType).alias("_build"),
+        F.struct(*[F.col(c).alias(c) for c in probe_cols]).alias("_row"),
+    )
+    b = b.withColumn("_row", F.lit(None).cast(p.schema["_row"].dataType))
+    u = b.unionByName(p)
+    # build rows (_tag 0) sort before probe rows at equal ts -> ">=" match
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_ts").asc(), F.col("_tag").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last("_build", ignorenulls=True).over(w)
+    return u.withColumn("_m", matched).filter(F.col("_tag") == 1).select(
+        *[F.col("_row")[c].alias(c) for c in probe_cols],
+        F.col("_m")[ts_col].alias(prefix + ts_col),
+        *[F.col("_m")[c].alias(prefix + c) for c in payload_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+) -> DataFrame:
+    """Assign 1-based ``session_seq`` per key: a new session starts when
+    the gap to the previous event (ordered by ts, tiebreak) exceeds
+    ``gap_seconds``. Adds the column; one shuffle on ``key``."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((us - prev) > F.lit(int(gap_seconds) * 1_000_000)), 1
+    ).otherwise(0)
+    run = Window.partitionBy(key).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq", F.sum(new_sess).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-session aggregate over ``sessionize``: event count, start/end,
+    and the value sum in exact integer cents (``round(v*100)::bigint``
+    before summing — float-sum-order safe across engines)."""
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    return (
+        sessionize(df, key, ts_col, gap_seconds, tiebreak)
+        .groupBy(key, "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.sum(cents).alias("sum_value_cents"),
         )
     )

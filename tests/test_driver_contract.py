@@ -36,10 +36,17 @@ def _norm(v):
     return v
 
 
+def _row_key(row):
+    # null-safe total order (None < everything, then by string form) —
+    # both sides sort by the same key, so the zip-compare stays valid for
+    # nullable columns (e.g. the unmatched side of a left as-of join)
+    return tuple((v is not None, str(v)) for v in row)
+
+
 def _spark_rows(df):
     cols = sorted(df.columns)
     return sorted(
-        tuple(_norm(r[c]) for c in cols) for r in df.collect()
+        (tuple(_norm(r[c]) for c in cols) for r in df.collect()), key=_row_key
     ), cols
 
 
@@ -52,7 +59,10 @@ def _duck_rows(sql):
     cur = con.execute(sql)
     names = [d[0] for d in cur.description]
     idx = sorted(range(len(names)), key=lambda i: names[i])
-    rows = sorted(tuple(_norm(row[i]) for i in idx) for row in cur.fetchall())
+    rows = sorted(
+        (tuple(_norm(row[i]) for i in idx) for row in cur.fetchall()),
+        key=_row_key,
+    )
     return rows, sorted(names)
 
 

@@ -45,3 +45,105 @@ def test_evolving_topics_ranking(spark):
     assert top["new_connections"] == 3 and top["rank"] == 1
     assert top["source_docs"] == "d0,d1,d2"
     assert top["n_docs"] == 3
+
+
+# ---------------------------------------------------------------------------
+# as-of join / sessionization (training-pipeline temporal ops)
+# ---------------------------------------------------------------------------
+
+from neuronews_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+def _ts(s):
+    return datetime(2024, 1, 1) + timedelta(seconds=s)
+
+
+def test_asof_join_hand_computed(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, "u1", _ts(10), 1.0),   # after b@5 and b@10 -> equal-ts b2 wins
+            (2, "u1", _ts(4), 1.0),    # before any build -> null
+            (3, "u1", _ts(100), 1.0),  # latest build overall -> b@60
+            (4, "u2", _ts(50), 1.0),   # other key -> its own build b@7
+            (5, "u3", _ts(50), 1.0),   # key with no build rows -> null
+        ],
+        "event_id int, user_id string, ts timestamp, value double",
+    )
+    build = spark.createDataFrame(
+        [
+            (101, "u1", _ts(5), 5.5),
+            (102, "u1", _ts(10), 6.5),   # same ts as probe 1: >= matches it
+            (103, "u1", _ts(60), 7.5),
+            (104, "u2", _ts(7), 8.5),
+        ],
+        "event_id int, user_id string, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r
+        for r in asof_join(
+            probe, build, on="user_id", ts_col="ts",
+            payload_cols=["event_id", "value"], tiebreak="event_id",
+            prefix="m_",
+        ).collect()
+    }
+    assert len(got) == 5
+    assert got[1]["m_event_id"] == 102 and got[1]["m_value"] == 6.5
+    assert got[2]["m_event_id"] is None and got[2]["m_ts"] is None
+    assert got[3]["m_event_id"] == 103 and got[3]["m_ts"] == _ts(60)
+    assert got[4]["m_event_id"] == 104
+    assert got[5]["m_event_id"] is None
+    # probe columns survive untouched
+    assert got[1]["value"] == 1.0 and got[1]["ts"] == _ts(10)
+
+
+def test_asof_join_build_ts_tie_breaks_by_greatest_tiebreak(spark):
+    probe = spark.createDataFrame(
+        [(1, "u1", _ts(10))], "event_id int, user_id string, ts timestamp"
+    )
+    build = spark.createDataFrame(
+        [(7, "u1", _ts(10)), (9, "u1", _ts(10)), (8, "u1", _ts(10))],
+        "event_id int, user_id string, ts timestamp",
+    )
+    got = asof_join(
+        probe, build, on="user_id", ts_col="ts",
+        payload_cols=["event_id"], tiebreak="event_id",
+    ).collect()
+    assert got[0]["matched_event_id"] == 9
+
+
+def test_sessionize_gap_strictly_greater(spark):
+    # gap of exactly 30s does NOT split; 30.000001s does
+    rows = [
+        (1, "u1", _ts(0), 1.00),
+        (2, "u1", _ts(30), 2.00),          # gap == 30 -> same session
+        (3, "u1", _ts(60, ), 3.00),        # gap == 30 -> same session
+        (4, "u1", _ts(91), 4.00),          # gap 31   -> new session
+        (5, "u2", _ts(0), 5.00),           # first event of key -> session 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", 30, "event_id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1}
+
+
+def test_session_stats_exact_cents(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "u1", _ts(0), 0.10),
+            (2, "u1", _ts(5), 0.20),   # 0.1+0.2 != 0.3 in binary; cents exact
+            (3, "u1", _ts(1000), 9.99),
+        ],
+        "event_id int, user_id string, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): r
+        for r in session_stats(df, "user_id", "ts", 30, "event_id", "value").collect()
+    }
+    s1 = got[("u1", 1)]
+    assert s1["n_events"] == 2 and s1["sum_value_cents"] == 30
+    assert s1["session_start"] == _ts(0) and s1["session_end"] == _ts(5)
+    assert got[("u1", 2)]["sum_value_cents"] == 999
