@@ -2097,6 +2097,62 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_skew_user_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # salted two-stage aggregation (north-rule skew handling, general
+    # form — operators/skew.py): 80% of events land on one synthetic hot
+    # key; stage 1 groups by (key, salt) so that key spreads over 8
+    # tasks; algebraic combine by key is exact (cents, not float sums)
+    _prep(spark)
+    from neuronews_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf, "events").select(
+        "event_id",
+        "ts",
+        F.when(F.col("user_id") % 10 < 8, F.lit(-1))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        .alias("grp"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return salted_aggregate(
+        ev,
+        keys=["grp"],
+        specs=[
+            ("count", "event_id", "n_events"),
+            ("sum", "cents", "sum_value_cents"),
+            ("min", "ts", "first_ts"),
+            ("max", "ts", "last_ts"),
+        ],
+        salt_src="event_id",
+        n_salts=8,
+    )
+
+
+def q_skew_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    # salted replicated join (north-rule skew handling): the probe side's
+    # hot key (80% of events) is spread over 8 salt buckets; the 25-row
+    # build side is replicated 8x and shuffle-hash-hinted so the salted
+    # exchange actually materializes (broadcast would hide it)
+    _prep(spark)
+    from neuronews_spark.operators.skew import salted_join
+
+    probe = _t(spark, sf, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") % 10 < 8, F.lit(0))
+        .otherwise(F.col("user_id") % 25)
+        .cast("long")
+        .alias("n_nationkey"),
+    )
+    build = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    return salted_join(
+        probe, build, on="n_nationkey", salt_src="event_id",
+        n_salts=8, force_shuffle=True,
+    ).select("event_id", "n_nationkey", "n_name", "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry iteration order IS the driver's execution order, and the
     # driver verifies oracled entries under a budget that has empirically
@@ -2194,6 +2250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "tpch_q3": q_tpch_q3,
         "token_quantiles": q_token_quantiles,
+        "skew_user_stats": q_skew_user_stats,
+        "skew_join_events": q_skew_join_events,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4353,6 +4411,28 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars::double, 0.9), 6) AS p90,
                    round(quantile_cont(n_chars::double, 0.99), 6) AS p99
             FROM documents GROUP BY lang
+        """,
+        # the salt exists only in the plan, never in the result — the
+        # mirrors are the plain GROUP BY / plain JOIN the salted plans
+        # must equal exactly
+        "skew_user_stats": """
+            SELECT CASE WHEN user_id % 10 < 8 THEN -1
+                        ELSE user_id END::bigint AS grp,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::bigint
+                     AS sum_value_cents,
+                   min(ts) AS first_ts, max(ts) AS last_ts
+            FROM events GROUP BY 1
+        """,
+        "skew_join_events": """
+            SELECT e.event_id,
+                   n.n_nationkey::bigint AS n_nationkey,
+                   n.n_name, e.value
+            FROM (SELECT event_id, value,
+                         CASE WHEN user_id % 10 < 8 THEN 0
+                              ELSE user_id % 25 END::bigint AS k
+                  FROM events) e
+            JOIN nation n ON e.k = n.n_nationkey
         """,
         # ASOF JOIN is DuckDB-native — an independent formulation of the
         # Spark union+window plan (ties impossible: (user_id, ts) unique)
