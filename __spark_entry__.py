@@ -2097,6 +2097,19 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
+    # the built-in session_window run in batch mode (same function runs
+    # unchanged on a stream with a watermark — test_tables_streaming.py);
+    # boundary is >= gap, vs event_sessions' strictly-greater split
+    _prep(spark)
+    from neuronews_spark.streaming.ingest import session_window_stats
+
+    return session_window_stats(
+        _t(spark, sf, "events"), key="user_id", ts_col="ts",
+        gap="30 minutes", value_col="value",
+    )
+
+
 def q_skew_user_stats(spark: SparkSession, sf: str) -> DataFrame:
     # salted two-stage aggregation (north-rule skew handling, general
     # form — operators/skew.py): 80% of events land on one synthetic hot
@@ -2252,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "skew_user_stats": q_skew_user_stats,
         "skew_join_events": q_skew_join_events,
+        "session_windows": q_session_windows,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4443,6 +4457,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') a
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "session_windows": """
+            WITH flagged AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id
+                                       ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged)
+            SELECT user_id,
+                   min(ts) AS window_start,
+                   max(ts) + INTERVAL 30 MINUTE AS window_end,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   sum(CAST(round(value * 100) AS BIGINT))::bigint
+                     AS sum_value_cents
+            FROM sess GROUP BY user_id, session_seq
         """,
         "event_sessions": """
             WITH flagged AS (

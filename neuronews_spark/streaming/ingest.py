@@ -117,3 +117,57 @@ def start_exactly_once_merge(
         # trigger(processingTime='10 seconds'))
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def session_window_stats(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    value_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Gap-based session aggregation via the built-in ``session_window``
+    — the Spark-native form of ``operators/temporal.sessionize`` that
+    also runs UNCHANGED on a stream: with ``watermark_delay`` set and a
+    streaming input, append mode emits each session exactly once, when
+    the watermark passes session_end + gap, and the session state store
+    is evicted with it (bounded state at 10^12-turn scale — the same
+    reason watermark_dedup uses dropDuplicatesWithinWatermark).
+
+    Boundary note vs the batch operator: ``session_window`` starts a new
+    session when the gap is >= the duration (window end is exclusive);
+    ``sessionize`` splits only when strictly greater. The two agree on
+    any input without an exact-gap tie (microsecond timestamps make
+    those vanishingly rare; the differential test pins both behaviors).
+
+    No custom ``applyInPandasWithState`` needed: the built-in covers the
+    semantics, stays JVM-side, and composes with watermarks for free.
+    """
+    src = df
+    if watermark_delay is not None:
+        src = src.withWatermark(ts_col, watermark_delay)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias(
+                "sum_value_cents"
+            )
+        )
+    return (
+        src.groupBy(F.col(key), F.session_window(F.col(ts_col), gap))
+        .agg(*aggs)
+        .select(
+            key,
+            F.col("session_window.start").alias("window_start"),
+            F.col("session_window.end").alias("window_end"),
+            "n_events",
+            "session_start",
+            "session_end",
+            *(["sum_value_cents"] if value_col is not None else []),
+        )
+    )

@@ -245,3 +245,89 @@ def test_apply_write_distribution_clusters_and_orders(spark):
         for r in rows:
             day_parts.setdefault(r["day"], set()).add(i)
     assert all(len(s) == 1 for s in day_parts.values())
+
+
+# ---------------------------------------------------------------------------
+# session_window sessionization (batch differential + streaming finalize)
+# ---------------------------------------------------------------------------
+
+def test_session_window_batch_matches_sessionize(spark):
+    from neuronews_spark.operators.temporal import session_stats
+    from neuronews_spark.streaming.ingest import session_window_stats
+
+    rows = [
+        (1, "u1", T0, 0.10),
+        (2, "u1", T0 + timedelta(seconds=20), 0.20),
+        (3, "u1", T0 + timedelta(seconds=2000), 9.99),  # > 30min? no: 33min gap
+        (4, "u2", T0, 1.00),
+        (5, "u2", T0 + timedelta(seconds=1799), 2.00),  # just under the gap
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts timestamp, value double"
+    )
+    via_window = {
+        (r["user_id"], r["session_start"]): r
+        for r in session_stats(df, "user_id", "ts", 1800, "event_id", "value").collect()
+    }
+    via_session_window = {
+        (r["user_id"], r["session_start"]): r
+        for r in session_window_stats(
+            df, "user_id", "ts", gap="30 minutes", value_col="value"
+        ).collect()
+    }
+    assert set(via_window) == set(via_session_window)
+    for k in via_window:
+        for c in ("n_events", "session_end", "sum_value_cents"):
+            assert via_window[k][c] == via_session_window[k][c], (k, c)
+    # window_end = last event + gap (session_window contract)
+    u1_first = via_session_window[("u1", T0)]
+    assert u1_first["window_end"] == T0 + timedelta(seconds=20 + 1800)
+
+
+def test_session_window_streaming_emits_finalized_sessions(spark, tmp_path):
+    from neuronews_spark.streaming.ingest import session_window_stats
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+
+    def _write(rows, name):
+        spark.createDataFrame(
+            rows, "user_id string, ts timestamp, value double"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, name))
+
+    _write(
+        [("u1", T0, 1.0), ("u1", T0 + timedelta(seconds=10), 2.0)], "b1"
+    )
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = session_window_stats(
+        stream, "user_id", "ts", gap="30 minutes",
+        value_col="value", watermark_delay="10 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # nothing final yet: watermark hasn't passed session end + gap
+        assert spark.sql("SELECT * FROM sess_out").count() == 0
+        # a far-future event pushes the watermark past the first session
+        _write([("u9", T0 + timedelta(hours=3), 0.5)], "b2")
+        q.processAllAvailable()
+        _write([("u9", T0 + timedelta(hours=6), 0.5)], "b3")
+        q.processAllAvailable()
+        rows = {r["user_id"]: r for r in spark.sql("SELECT * FROM sess_out").collect()}
+    finally:
+        q.stop()
+    # u1's session was emitted exactly once, finalized, with exact cents
+    assert "u1" in rows
+    assert rows["u1"]["n_events"] == 2
+    assert rows["u1"]["sum_value_cents"] == 300
+    assert rows["u1"]["session_start"] == T0
+    assert rows["u1"]["session_end"] == T0 + timedelta(seconds=10)
