@@ -2097,6 +2097,32 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_approx_distinct_gate(spark: SparkSession, sf: str) -> DataFrame:
+    # HLL++ sketch vs exact distinct per event_type — the approx path is
+    # the 100-TB tool (mergeable partials, no distinct shuffle), and the
+    # gate asserts its measured error stays inside the requested rsd
+    # envelope (3x rsd=0.05) on every corpus. approx_count_distinct is
+    # deterministic for fixed data+rsd (xxhash64-based HLL++, no RNG), so
+    # the boolean gate is a stable oracle without per-corpus pins; the
+    # per-sf measured errors live in the gate test, not the hash.
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", rsd=0.05).alias("_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    rel_err = F.abs(F.col("_approx") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return per.select(
+        "event_type",
+        "exact_distinct",
+        "n_events",
+        (rel_err <= 0.15).alias("within_tol"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     # the built-in session_window run in batch mode (same function runs
     # unchanged on a stream with a watermark — test_tables_streaming.py);
@@ -2266,6 +2292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_user_stats": q_skew_user_stats,
         "skew_join_events": q_skew_join_events,
         "session_windows": q_session_windows,
+        "approx_distinct_gate": q_approx_distinct_gate,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4457,6 +4484,13 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') a
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "approx_distinct_gate": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   count(*) AS n_events,
+                   TRUE AS within_tol
+            FROM events GROUP BY event_type
         """,
         "session_windows": """
             WITH flagged AS (
