@@ -2097,6 +2097,31 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
+    # multi-dimensional ROLLUP (event_type × day → type subtotals → grand
+    # total) with GROUPING() disambiguation of real NULLs vs subtotal
+    # rows — Expand-based, one shuffle, partial-aggregated; cents sums
+    _prep(spark)
+    ev = _t(spark, sf, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        ev.rollup("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+        .select(
+            "event_type", "day", "g_type", "g_day",
+            "n_events", "sum_value_cents",
+        )
+    )
+
+
 def q_approx_distinct_gate(spark: SparkSession, sf: str) -> DataFrame:
     # HLL++ sketch vs exact distinct per event_type — the approx path is
     # the 100-TB tool (mergeable partials, no distinct shuffle), and the
@@ -2293,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_events": q_skew_join_events,
         "session_windows": q_session_windows,
         "approx_distinct_gate": q_approx_distinct_gate,
+        "rollup_daily": q_rollup_daily,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4484,6 +4510,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') a
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "rollup_daily": """
+            SELECT event_type,
+                   date_trunc('day', ts)::timestamp AS day,
+                   grouping(event_type)::int AS g_type,
+                   grouping(date_trunc('day', ts))::int AS g_day,
+                   count(*) AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::bigint
+                     AS sum_value_cents
+            FROM events
+            GROUP BY ROLLUP (event_type, date_trunc('day', ts))
         """,
         "approx_distinct_gate": """
             SELECT event_type,
