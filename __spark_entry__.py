@@ -2097,6 +2097,20 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # ordered windowFunnel (signup → click → purchase): stage i counts
+    # only at-or-after the first qualifying stage i-1 occurrence; one
+    # shuffle, all stages share one sorted window (temporal.py)
+    _prep(spark)
+    from neuronews_spark.operators.temporal import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf, "events"),
+        key="user_id", ts_col="ts", type_col="event_type",
+        stages=["signup", "click", "purchase"], tiebreak="event_id",
+    )
+
+
 def q_rollup_daily(spark: SparkSession, sf: str) -> DataFrame:
     # multi-dimensional ROLLUP (event_type × day → type subtotals → grand
     # total) with GROUPING() disambiguation of real NULLs vs subtotal
@@ -2319,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": q_session_windows,
         "approx_distinct_gate": q_approx_distinct_gate,
         "rollup_daily": q_rollup_daily,
+        "event_funnel": q_event_funnel,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
@@ -4510,6 +4525,44 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') a
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "event_funnel": """
+            WITH st AS (
+              SELECT user_id, ts, event_type, event_id,
+                     min(CASE WHEN event_type = 'signup' THEN ts END)
+                       OVER w AS t_signup
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ), st2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click'
+                                 AND t_signup IS NOT NULL THEN ts END)
+                       OVER w AS t_click
+              FROM st
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ), st3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase'
+                                 AND t_click IS NOT NULL THEN ts END)
+                       OVER w AS t_purchase
+              FROM st2
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+            ), per AS (
+              SELECT user_id, max(t_signup) AS t0, max(t_click) AS t1,
+                     max(t_purchase) AS t2
+              FROM st3 GROUP BY user_id
+            ), c AS (
+              SELECT count(t0) AS n0, count(t1) AS n1, count(t2) AS n2
+              FROM per)
+            SELECT 1 AS ordinal, 'signup' AS stage, n0 AS n_reached,
+                   1.0::double AS conversion FROM c
+            UNION ALL
+            SELECT 2, 'click', n1,
+                   round(n1::double / nullif(n0, 0), 6) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', n2,
+                   round(n2::double / nullif(n1, 0), 6) FROM c
         """,
         "rollup_daily": """
             SELECT event_type,

@@ -202,3 +202,84 @@ def session_stats(
             F.sum(cents).alias("sum_value_cents"),
         )
     )
+
+
+def funnel_stage_times(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Ordered-funnel per key: stage i counts only at-or-after the first
+    qualifying occurrence of stage i-1 (the windowFunnel operator of
+    event-analytics engines). Returns one row per key with
+    ``t_<stage>`` = first qualifying timestamp (null = never reached).
+
+    One shuffle on ``key``; every stage is a running conditional min over
+    the SAME sorted window, so the sort is paid once regardless of the
+    number of stages. Scale note: no arrays are collected — state per row
+    is ``len(stages)`` columns.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    prev: str | None = None
+    for stage in stages:
+        qualifies = F.col(type_col) == stage
+        if prev is not None:
+            # the running min for the previous stage is ≤ current ts by
+            # construction of the ordered window, so non-null == reached
+            qualifies = qualifies & F.col(f"t_{prev}").isNotNull()
+        out = out.withColumn(
+            f"t_{stage}",
+            F.min(F.when(qualifies, F.col(ts_col))).over(w),
+        )
+        prev = stage
+    return out.groupBy(key).agg(
+        *[F.max(f"t_{s}").alias(f"t_{s}") for s in stages]
+    )
+
+
+def funnel_counts(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    type_col: str,
+    stages: list[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Funnel rollup over :func:`funnel_stage_times`: one row per stage
+    (ordinal, stage, n_reached, conversion vs previous stage rounded to
+    6). Stage rows are produced by an in-plan stack (no driver loop)."""
+    per_key = funnel_stage_times(df, key, ts_col, type_col, stages, tiebreak)
+    counts = per_key.agg(
+        *[
+            F.count(F.col(f"t_{s}")).alias(f"n_{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("ordinal"),
+                F.lit(s).alias("stage"),
+                F.col(f"n_{i}").alias("n_reached"),
+                (
+                    F.round(
+                        F.col(f"n_{i}")
+                        / F.nullif(F.col(f"n_{i - 1}"), F.lit(0)),
+                        6,
+                    )
+                    if i > 0
+                    else F.lit(1.0)
+                ).alias("conversion"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return counts.select(F.explode(stage_rows).alias("r")).select("r.*")

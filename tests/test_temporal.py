@@ -147,3 +147,50 @@ def test_session_stats_exact_cents(spark):
     assert s1["n_events"] == 2 and s1["sum_value_cents"] == 30
     assert s1["session_start"] == _ts(0) and s1["session_end"] == _ts(5)
     assert got[("u1", 2)]["sum_value_cents"] == 999
+
+
+from neuronews_spark.operators.temporal import funnel_counts, funnel_stage_times
+
+
+def test_funnel_requires_stage_order(spark):
+    rows = [
+        # u1: full ordered funnel
+        (1, "u1", _ts(0), "signup"), (2, "u1", _ts(10), "click"),
+        (3, "u1", _ts(20), "purchase"),
+        # u2: click BEFORE signup does not qualify -> stops at signup
+        (4, "u2", _ts(0), "click"), (5, "u2", _ts(10), "signup"),
+        (6, "u2", _ts(20), "purchase"),  # no qualifying click -> no purchase
+        # u3: purchase before first qualifying click -> stops at click
+        (7, "u3", _ts(0), "signup"), (8, "u3", _ts(5), "purchase"),
+        (9, "u3", _ts(10), "click"),
+        # u4: never signs up
+        (10, "u4", _ts(0), "click"), (11, "u4", _ts(5), "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id int, user_id string, ts timestamp, event_type string"
+    )
+    stages = ["signup", "click", "purchase"]
+    per = {
+        r["user_id"]: r
+        for r in funnel_stage_times(
+            df, "user_id", "ts", "event_type", stages, "event_id"
+        ).collect()
+    }
+    assert per["u1"]["t_purchase"] == _ts(20)
+    assert per["u2"]["t_signup"] == _ts(10)
+    assert per["u2"]["t_click"] is None and per["u2"]["t_purchase"] is None
+    assert per["u3"]["t_click"] == _ts(10) and per["u3"]["t_purchase"] is None
+    assert per["u4"]["t_signup"] is None
+
+    got = {
+        r["stage"]: r
+        for r in funnel_counts(
+            df, "user_id", "ts", "event_type", stages, "event_id"
+        ).collect()
+    }
+    assert got["signup"]["n_reached"] == 3 and got["signup"]["conversion"] == 1.0
+    assert got["click"]["n_reached"] == 2
+    assert got["click"]["conversion"] == round(2 / 3, 6)
+    assert got["purchase"]["n_reached"] == 1
+    assert got["purchase"]["conversion"] == 0.5
+    assert [got[s]["ordinal"] for s in stages] == [1, 2, 3]
