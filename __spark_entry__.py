@@ -2245,12 +2245,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window-ranking forms, near-duplicate aggregate shapes) sit after
     # position 50, still oracled and still run by scripts/check_oracles.
     # Rows-only queries (non-SQL-expressible) remain last.
+    # Late round 4 added seven NEW families (as-of join, sessionization,
+    # PII redaction, salted skew handling, ROLLUP grouping sets, HLL
+    # sketch gate, window funnel); one representative of each was swapped
+    # into the window in place of a same-family duplicate of roughly the
+    # same cost (lang_id/sentiment_docs/dim_user_activity/
+    # frames_by_source/trend_7d_moving_avg/tfidf_keywords/
+    # controversy_edges moved to 51+).
     return {
         # --- verified window: one representative per family, cheap first ---
         "token_stats": q_token_stats,
         "factcheck_verdicts": q_factcheck_verdicts,
         "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
+        "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "degrees_events": q_degrees_events,
@@ -2264,23 +2271,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_top5": q_cosine_top5,
         "embedding_near_dups": q_embedding_near_dups,
         "doc_frames": q_doc_frames,
-        "trend_7d_moving_avg": q_trend_7d_moving_avg,
-        "dim_user_activity": q_dim_user_activity,
+        "approx_distinct_gate": q_approx_distinct_gate,
+        "event_sessions": q_event_sessions,
         "dim_entity_docs": q_dim_entity_docs,
         "outlet_vectors": q_outlet_vectors,
         "ner_preprocess": q_ner_preprocess,
         "stg_entities": q_stg_entities,
-        "frames_by_source": q_frames_by_source,
+        "rollup_daily": q_rollup_daily,
         "model_benchmark": q_model_benchmark,
         "doc_actors": q_doc_actors,
         "mention_extraction": q_mention_extraction,
-        "controversy_edges": q_controversy_edges,
+        "skew_user_stats": q_skew_user_stats,
         "cooccurrence_events": q_cooccurrence_events,
-        "tfidf_keywords": q_tfidf_keywords,
+        "event_funnel": q_event_funnel,
         "doc_embeddings": q_doc_embeddings,
         "claim_conflicts": q_claim_conflicts,
         "doc_claims": q_doc_claims,
-        "sentiment_docs": q_sentiment_docs,
+        "events_asof": q_events_asof,
         "tpch_q1": q_tpch_q1,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
@@ -2298,6 +2305,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank_events,
         "centrality_stats": q_centrality_stats,
         # --- position 51+: oracled, family already represented above ---
+        "lang_id": q_lang_id,
+        "sentiment_docs": q_sentiment_docs,
+        "dim_user_activity": q_dim_user_activity,
+        "frames_by_source": q_frames_by_source,
+        "trend_7d_moving_avg": q_trend_7d_moving_avg,
+        "tfidf_keywords": q_tfidf_keywords,
+        "controversy_edges": q_controversy_edges,
+        "tpch_q3": q_tpch_q3,
+        "token_quantiles": q_token_quantiles,
+        "skew_join_events": q_skew_join_events,
+        "session_windows": q_session_windows,
         "bpe_token_count": q_bpe_token_count,
         "sentence_chunks": q_sentence_chunks,
         "order_date_enrich": q_order_date_enrich,
@@ -2323,17 +2341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlet_transparency": q_outlet_transparency,
         "position_followthrough": q_position_followthrough,
         "text_srp_recall": q_text_srp_recall,
-        "events_asof": q_events_asof,
-        "event_sessions": q_event_sessions,
-        "pii_redaction": q_pii_redaction,
-        "tpch_q3": q_tpch_q3,
-        "token_quantiles": q_token_quantiles,
-        "skew_user_stats": q_skew_user_stats,
-        "skew_join_events": q_skew_join_events,
-        "session_windows": q_session_windows,
-        "approx_distinct_gate": q_approx_distinct_gate,
-        "rollup_daily": q_rollup_daily,
-        "event_funnel": q_event_funnel,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # entity_resolution: difflib-ratio scoring + iterative CC; the
         #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
