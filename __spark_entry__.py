@@ -2097,6 +2097,27 @@ def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # JSON-path extraction on the raw props column (get_json_object →
+    # typed int) + grouped stats per event_type: the ingest-side JSON
+    # flatten (streaming/ingest.parse_json_stream) exercised as a batch
+    # scan projection — stays in codegen, no UDF
+    _prep(spark)
+    ev = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
     # ordered windowFunnel (signup → click → purchase): stage i counts
     # only at-or-after the first qualifying stage i-1 occurrence; one
@@ -2316,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quantiles": q_token_quantiles,
         "skew_join_events": q_skew_join_events,
         "session_windows": q_session_windows,
+        "props_stats": q_props_stats,
         "bpe_token_count": q_bpe_token_count,
         "sentence_chunks": q_sentence_chunks,
         "order_date_enrich": q_order_date_enrich,
@@ -4532,6 +4554,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') a
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') b
               ON a.user_id = b.user_id AND a.ts >= b.ts
+        """,
+        "props_stats": """
+            SELECT event_type, count(*) AS n_events,
+                   count(json_extract_string(props, '$.k')) AS n_with_k,
+                   min(json_extract_string(props, '$.k')::bigint) AS k_min,
+                   max(json_extract_string(props, '$.k')::bigint) AS k_max,
+                   sum(json_extract_string(props, '$.k')::bigint)::bigint
+                     AS k_sum
+            FROM events GROUP BY event_type
         """,
         "event_funnel": """
             WITH st AS (

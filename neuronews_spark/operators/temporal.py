@@ -128,7 +128,7 @@ def asof_join(
         F.col(on),
         F.col(ts_col).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         payload.alias("_build"),
     )
     probe_cols = probe.columns
@@ -138,7 +138,7 @@ def asof_join(
         F.col(on),
         F.col(ts_col).alias("_ts"),
         F.lit(1).alias("_tag"),
-        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         F.lit(None).cast(b.schema["_build"].dataType).alias("_build"),
         F.struct(*[F.col(c).alias(c) for c in probe_cols]).alias("_row"),
     )
