@@ -538,8 +538,10 @@ def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
     user↔event-type graph (same edge derivation as pagerank_events).
-    max_iter=12 caps BFS depth identically on both sides (graph diameter
-    here is ≤4, so the cap never binds — it just bounds the mirrors)."""
+    The Spark BFS runs uncapped (it stops at the graph diameter, ≤4
+    here, and an uncapped all-pairs BFS keeps the cheap BFS-derived
+    component map); the mirror's recursive CTE carries a d < 12 bound
+    purely to guarantee recursion termination — it never binds."""
     _prep(spark)
     from neuronews_spark.operators.graph import centrality_stats
 
@@ -548,7 +550,7 @@ def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     )
-    return centrality_stats(edges, max_iter=12).orderBy("node_id")
+    return centrality_stats(edges).orderBy("node_id")
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:

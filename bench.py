@@ -555,18 +555,18 @@ def main() -> None:
         entrymod.queries()["doc_quality"](spark, SF_DIR).write.format(
             "noop"
         ).mode("overwrite").save()
+        from neuronews_spark.operators import dedup as _dedup
+
         for name in BENCH_QUERIES:
             if name not in queries:
                 continue
             t0 = time.perf_counter()
-            df = queries[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
+            # scope-local release: drop only the shingle/SRP caches THIS
+            # query pinned — they are per-plan, useless to the next query
+            with _dedup.cache_scope():
+                df = queries[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 2)
-            # drop shingle/SRP caches the dedup operators pinned for this
-            # query — they are per-plan, useless to the next query
-            from neuronews_spark.operators import dedup as _dedup
-
-            _dedup.release_caches()
 
         er_t, _n_ents = _run_er_job(spark, ER_TURNS)
         er = {

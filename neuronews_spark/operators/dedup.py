@@ -13,6 +13,9 @@ the only wide ops are groupBys/joins keyed on content hashes or LSH bands.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+from typing import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
@@ -36,16 +39,44 @@ _PERSISTED: list[DataFrame] = []
 
 
 def release_caches() -> int:
-    """Unpersist every shingle cache pinned by minhash_near_duplicates
-    (including via decontaminate) and return how many were released.
-    Call after the returned plans have been fully consumed — long
-    driver/bench sessions otherwise accumulate corpus-sized caches and
-    lean on LRU eviction."""
+    """Unpersist EVERY cache pinned by the operators in this module
+    (minhash/SRP/n-gram, including via decontaminate) and return how
+    many were released.  GLOBAL: this also drops caches pinned by plans
+    built earlier and not yet consumed — those plans stay correct but
+    recompute their upstream on next use.  Safe only when every
+    outstanding plan has been fully consumed (the bench/oracle loops'
+    one-plan-at-a-time pattern); for interleaved plans use
+    :func:`cache_scope` instead."""
     n = 0
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
         n += 1
     return n
+
+
+@contextmanager
+def cache_scope() -> Iterator[None]:
+    """Scope-local cache release: on exit, unpersist only the caches
+    pinned by operator calls made INSIDE the ``with`` block, leaving
+    earlier pins (plans still live elsewhere) untouched.
+
+    >>> with cache_scope():
+    ...     minhash_near_duplicates(df).collect()   # cache pinned...
+    ... # ...and released here, without touching other live plans
+
+    Caveat: Spark's CacheManager dedupes persists by analyzed plan, so
+    if the SAME operator call on the SAME input is pinned both inside
+    and outside the scope they alias one cache entry, and the scoped
+    release drops it for both — scoping protects distinct plans, not
+    aliases of one plan.
+    """
+    mark = len(_PERSISTED)
+    try:
+        yield
+    finally:
+        inner, _PERSISTED[mark:] = _PERSISTED[mark:], []
+        for df in inner:
+            df.unpersist()
 
 
 def exact_duplicate_groups(
@@ -211,7 +242,11 @@ def dedup_lines_across_corpus(
         )
         .select("_id", "_idx", F.trim("_raw").alias("_line"))
         .filter(F.col("_line") != "")
+        # three consumers below (winners agg, semi-join probe, totals agg):
+        # without a pin the corpus-wide split/explode re-executes 3×
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(lines)
     winners = (
         lines.groupBy("_line")
         .agg(F.min(F.struct("_id", "_idx")).alias("_w"))
@@ -344,7 +379,12 @@ def decontaminate(
     BOTH sides is handled correctly (it reports itself as contamination
     at jaccard 1.0) instead of silently fanning out through a side-map
     join — and the side test is a prefix check, no extra join at all."""
-    id_type = {f.name: f.dataType for f in train.schema.fields}[id_col]
+    # each output column casts back to ITS OWN side's id type — the two
+    # sides may legitimately differ (e.g. long train ids vs string
+    # eval-suite ids); casting both to train's type would NULL/ANSI-fail
+    # heterogeneous eval ids
+    train_id_type = {f.name: f.dataType for f in train.schema.fields}[id_col]
+    eval_id_type = {f.name: f.dataType for f in eval_.schema.fields}[id_col]
     tag = lambda side_df, p: side_df.select(  # noqa: E731
         F.concat(F.lit(p), F.col(id_col).cast("string")).alias(id_col),
         F.col(text_col),
@@ -355,15 +395,15 @@ def decontaminate(
         **minhash_kwargs,
     )
     side = lambda c: F.substring(c, 1, 2)  # noqa: E731
-    strip = lambda c: F.expr(f"substring({c}, 3)").cast(id_type)  # noqa: E731
+    strip = lambda c, t: F.expr(f"substring({c}, 3)").cast(t)  # noqa: E731
     return (
         pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
         .select(
-            F.when(side(F.col("id_a")) == "e:", strip("id_a"))
-            .otherwise(strip("id_b"))
+            F.when(side(F.col("id_a")) == "e:", strip("id_a", eval_id_type))
+            .otherwise(strip("id_b", eval_id_type))
             .alias("eval_id"),
-            F.when(side(F.col("id_a")) == "t:", strip("id_a"))
-            .otherwise(strip("id_b"))
+            F.when(side(F.col("id_a")) == "t:", strip("id_a", train_id_type))
+            .otherwise(strip("id_b", train_id_type))
             .alias("train_id"),
             "jaccard",
         )
@@ -546,6 +586,7 @@ def embedding_cosine_pairs(
     block_col: str | None = None,
     threshold: float = 0.9,
     max_block: int = 200_000,
+    all_pairs_chunks: int = 32,
 ) -> DataFrame:
     """Blocked exact embedding near-duplicate pairs (id_a, id_b, sim ≥ t).
 
@@ -563,6 +604,16 @@ def embedding_cosine_pairs(
     a block larger than ``max_block`` raises rather than silently
     degrading — an exact all-pairs baseline is inherently quadratic, and
     past that size :func:`srp_lsh_near_dups` is the scale path.
+
+    ``block_col=None`` (true all-pairs, the brute-force recall truth)
+    does NOT funnel the table into one group: rows are chunked by a
+    deterministic id hash into ``all_pairs_chunks`` chunks and each row
+    is replicated to its P chunk-PAIR groups, so the quadratic work
+    spreads over P(P+1)/2 tasks (replication cost O(n·P) vector rows vs
+    a single task computing all O(n²) sims serially).  Groups spanning
+    two chunks emit only cross-chunk pairs; same-chunk pairs come from
+    the (i,i) group — every pair exactly once.
+
     Rounding note: numpy's pairwise-summed dot can differ from the old
     sequential HOF fold in the last ulp; outputs are rounded to 6
     decimals, and a full differential at sf0.001/0.01/0.1 confirmed
@@ -570,11 +621,37 @@ def embedding_cosine_pairs(
     id_type = {f.name: f.dataType for f in df.schema.fields}[
         id_col
     ].simpleString()
-    base = df.select(
-        (F.col(block_col) if block_col else F.lit("all")).alias("blk"),
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
+    if block_col is not None:
+        base = df.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.lit(0).alias("_c"),
+        )
+        keys = ["blk"]
+    else:
+        p = int(all_pairs_chunks)
+        base = (
+            df.select(
+                F.pmod(
+                    F.xxhash64(F.col(id_col).cast("string")), F.lit(p)
+                ).alias("_c"),
+                F.col(id_col).alias("vid"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+            )
+            # chunk c meets chunk k in group (min(c,k), max(c,k)): the
+            # (i,j) group receives chunk i's rows via k=j and chunk j's
+            # via k=i — exactly one copy of each row per group
+            .withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(p - 1))))
+            .select(
+                F.least("_c", "_k").alias("blk_i"),
+                F.greatest("_c", "_k").alias("blk_j"),
+                "vid",
+                "v",
+                "_c",
+            )
+        )
+        keys = ["blk_i", "blk_j"]
 
     def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -587,6 +664,10 @@ def embedding_cosine_pairs(
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []})
         ids = pdf["vid"].to_numpy()
+        chunks = pdf["_c"].to_numpy()
+        # two distinct chunks in the group ⇒ (i,j) cross group: same-chunk
+        # pairs belong to the (i,i)/(j,j) groups, emit cross pairs only
+        cross_only = bool((chunks != chunks[0]).any())
         m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = 1.0  # zero vectors: sim 0, never ≥ t > 0
@@ -599,6 +680,8 @@ def embedding_cosine_pairs(
             rr, cc = np.nonzero(sims >= threshold)
             gr = rr + lo
             mask = ids[gr] < ids[cc]  # value order, elementwise
+            if cross_only:
+                mask &= chunks[gr] != chunks[cc]
             out_a.append(ids[gr[mask]])
             out_b.append(ids[cc[mask]])
             out_s.append(sims[rr[mask], cc[mask]])
@@ -610,7 +693,7 @@ def embedding_cosine_pairs(
             }
         )
 
-    return base.groupBy("blk").applyInPandas(
+    return base.groupBy(*keys).applyInPandas(
         _pairs, schema=f"id_a {id_type}, id_b {id_type}, sim double"
     )
 

@@ -113,7 +113,7 @@ def top_influencers(edges: DataFrame, k: int = 10, **pr_kwargs) -> DataFrame:
 def bfs_distances(
     edges: DataFrame,
     sources: DataFrame | None = None,
-    max_iter: int = 30,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Unweighted shortest-path distances over the UNDIRECTED view of
     ``edges(src, dst)`` (the reference symmetrizes its adjacency,
@@ -123,10 +123,16 @@ def bfs_distances(
 
     Returns ``(s, n, d)``: node ``n`` is ``d`` hops from source ``s``
     (including the ``d=0`` self row), for every source in ``sources``
-    (default: every node → all-pairs).  Each round is one equi-join on
-    the frontier's node key + one anti-join against the visited set,
-    localCheckpointed to truncate lineage; the loop stops at the graph's
-    diameter (empty frontier) or ``max_iter``.
+    (default: every node → all-pairs).  ``sources`` is keyed on its
+    FIRST column; sources absent from the edge set still get their
+    ``(s, s, 0)`` self row instead of vanishing.  Each round is one
+    equi-join on the frontier's node key + one anti-join against the
+    visited set, localCheckpointed to truncate lineage; the loop stops
+    at the graph's diameter (empty frontier).  ``max_iter`` is an
+    OPTIONAL depth cap: when set, distances beyond it are silently
+    absent — pass it only when a depth-bounded result is the intended
+    semantics (e.g. to match a depth-bounded mirror), never as a
+    convergence knob.
 
     Scale: all-pairs state is O(N·N) rows of three scalars — fine for
     entity/KG graphs (N = distinct entities, not corpus rows), but for a
@@ -141,17 +147,20 @@ def bfs_distances(
         .distinct()
         .persist()
     )
-    nodes = und.select(F.col("src").alias("node_id")).distinct()
     if sources is not None:
+        # keyed on the FIRST sources column; isolated sources (no edges)
+        # are kept so they still emit their (s, s, 0) self row
         src_col = sources.columns[0]
-        nodes = nodes.join(
-            sources.select(F.col(src_col).alias("node_id")).distinct(), "node_id"
-        )
+        nodes = sources.select(F.col(src_col).alias("node_id")).distinct()
+    else:
+        nodes = und.select(F.col("src").alias("node_id")).distinct()
     visited = nodes.select(
         F.col("node_id").alias("s"), F.col("node_id").alias("n"), F.lit(0).alias("d")
     ).localCheckpoint(eager=True)
     frontier = visited
-    for depth in range(1, max_iter + 1):
+    depth = 0
+    while max_iter is None or depth < max_iter:
+        depth += 1
         nxt = (
             frontier.join(und, frontier["n"] == und["src"])
             .select("s", F.col("dst").alias("n"))
@@ -174,7 +183,7 @@ def bfs_distances(
 def centrality_stats(
     edges: DataFrame,
     sources: DataFrame | None = None,
-    max_iter: int = 30,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """(node_id, closeness, betweenness, eigenvector) — the reference's
     three "simplified" per-node centralities (metrics.py:495-507), exact
@@ -189,9 +198,12 @@ def centrality_stats(
       component of size c among components D,
       ``b(v) = (c-1)(c-2) / ((c-1)(c-2) + Σ_{D≠C} |D|(|D|-1))``
       (0 when the denominator is 0) — the O(n³) path probing becomes one
-      groupBy over the component map.  With ``sources`` set, the
-      component map comes from :func:`connected_components` (BFS rows
-      alone can't size components that contain no source).
+      groupBy over the component map.  The component map is derived from
+      the BFS rows (min reachable id) ONLY when the BFS is provably
+      exhaustive (all-pairs, no depth cap); with ``sources`` set or
+      ``max_iter`` binding, partial/truncated reachability would
+      silently mislabel components, so :func:`connected_components`
+      supplies the map instead.
     * eigenvector (metrics.py:557-574): (deg(v) + 0.1·Σ_{u∈N(v)} deg(u))
       / n² over the undirected distinct-neighbor sets.  Summation is
       normalized to one multiply (the reference accumulates 0.1·deg
@@ -216,7 +228,8 @@ def centrality_stats(
         )
     )
 
-    if sources is None:
+    if sources is None and max_iter is None:
+        # exhaustive all-pairs BFS ⇒ min reachable id IS the component id
         comp = dist.groupBy("s").agg(F.min("n").alias("component"))
         comp = comp.select(F.col("s").alias("node_id"), "component")
     else:

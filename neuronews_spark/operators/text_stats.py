@@ -10,6 +10,8 @@ rlike → 0.7, negative → 0.3, else 0.5; label by 0.6/0.4 cuts).
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -336,7 +338,14 @@ def repetition_stats(
     ratio (single division), so there is no float-summation-order
     hazard and the DuckDB mirror (explode + groupBy shape) matches
     exactly.  Docs with NULL/empty text are dropped, as in char_entropy.
+
+    Whitespace is ASCII-exact by design: tokenization is ``re.ASCII``
+    ``\\s+`` and line trim strips ' ' only, matching Spark ``trim`` /
+    Java ``\\s`` / DuckDB ``trim``+RE2 — Python's Unicode-aware
+    ``str.split()``/``str.strip()`` would treat NBSP etc. as separators
+    and silently diverge from every mirror.
     """
+    _ws = re.compile(r"\s+", flags=re.ASCII)
 
     @F.pandas_udf(
         "n_lines bigint, dup_line_frac double, dup_line_char_frac double, "
@@ -348,13 +357,13 @@ def repetition_stats(
         rows = []
         for text in texts:
             text = text or ""
-            lines = [s for s in (p.strip() for p in text.split("\n")) if s]
+            lines = [s for s in (p.strip(" ") for p in text.split("\n")) if s]
             lc = Counter(lines)
             n_lines = len(lines)
             dup_extra = sum(c - 1 for c in lc.values() if c > 1)
             dup_chars = sum((c - 1) * len(v) for v, c in lc.items() if c > 1)
             tot_line_chars = sum(len(v) for v in lines)
-            toks = text.split()
+            toks = [t for t in _ws.split(text) if t]
             big = Counter(
                 toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
             )

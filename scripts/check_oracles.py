@@ -72,8 +72,11 @@ def main() -> int:
         try:
             import time as _time
 
+            from neuronews_spark.operators.dedup import cache_scope
+
             t0 = _time.monotonic()
-            sdf = queries[name](spark, SF).toPandas()
+            with cache_scope():  # per-plan shingle/SRP caches
+                sdf = queries[name](spark, SF).toPandas()
             t1 = _time.monotonic()
             odf = con.sql(oracles[name]).df()
             t2 = _time.monotonic()
@@ -96,10 +99,6 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: FAIL — {exc}")
             failed.append(name)
-        finally:
-            from neuronews_spark.operators import dedup as _dedup
-
-            _dedup.release_caches()  # per-plan shingle/SRP caches
     if timings:
         total_s = sum(t[0] for t in timings.values())
         total_o = sum(t[1] for t in timings.values())

@@ -91,3 +91,39 @@ def test_centrality_single_component_betweenness_one(spark):
     )
     rows = centrality_stats(edges).collect()
     assert all(r["betweenness"] == 1.0 for r in rows)
+
+
+def test_bfs_isolated_source_keeps_self_row(spark):
+    """A requested source absent from the edge set must still emit its
+    (s, s, 0) self row instead of vanishing."""
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    srcs = spark.createDataFrame([("q",), ("a",)], "node_id string")
+    dist = {
+        (r["s"], r["n"]): r["d"]
+        for r in bfs_distances(edges, sources=srcs).collect()
+    }
+    assert dist[("q", "q")] == 0
+    assert dist[("a", "b")] == 1
+    assert all(s != "q" or n == "q" for (s, n) in dist)
+
+
+def test_centrality_capped_bfs_uses_exact_components(spark):
+    """With a binding max_iter the component map must come from
+    connected_components, not the truncated BFS: on a 5-node path with
+    max_iter=2 every node is still in ONE component, so reachability
+    betweenness is 1.0 everywhere (a BFS-derived map would split the
+    path into fake components and produce sub-1 ratios)."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = {
+        r["node_id"]: r
+        for r in centrality_stats(edges, max_iter=2).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d", "e"}
+    assert all(r["betweenness"] == 1.0 for r in got.values())
+    # closeness IS depth-bounded by request: a sees {b:1, c:2} → 2/3
+    assert got["a"]["closeness"] == round(2 / 3, 6)
+    # c sees both directions within 2 hops: {b:1, d:1, a:2, e:2} → 4/6
+    assert got["c"]["closeness"] == round(4 / 6, 6)

@@ -821,3 +821,116 @@ def test_dup_ngram_coverage_planted(spark):
     got2 = {r["doc_id"]: r for r in dup_ngram_coverage(twice, n=5).collect()}
     assert got2[2]["covered_tokens"] == 10  # full union, no double count
     assert got2[2]["dup_coverage"] == 1.0
+
+
+def test_embedding_cosine_pairs_all_pairs_chunked(spark):
+    """block_col=None must spread the quadratic matmul over chunk-pair
+    groups (never one giant group) while emitting every qualifying pair
+    exactly once — compared against a full numpy brute force."""
+    from neuronews_spark.operators.dedup import embedding_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((15, 8))
+    noisy = base + 0.03 * rng.standard_normal((15, 8))
+    rows = [(i, base[i].tolist()) for i in range(15)] + [
+        (i + 100, noisy[i].tolist()) for i in range(15)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_cosine_pairs(
+            emb, block_col=None, threshold=0.9, all_pairs_chunks=4
+        ).collect()
+    }
+    expect = {}
+    v = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    for a in v:
+        for b in v:
+            if a < b:
+                sim = round(
+                    float(
+                        v[a] @ v[b]
+                        / (np.linalg.norm(v[a]) * np.linalg.norm(v[b]))
+                    ),
+                    6,
+                )
+                if sim >= 0.9:
+                    expect[(a, b)] = sim
+    assert set(got) == set(expect) and len(got) >= 15
+    # chunking must not change sims either (same per-row normalization)
+    one = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in embedding_cosine_pairs(
+            emb, block_col=None, threshold=0.9, all_pairs_chunks=1
+        ).collect()
+    }
+    assert got == one
+
+
+def test_decontaminate_heterogeneous_id_types(spark):
+    """train ids long, eval ids string: each output column must carry its
+    OWN side's id type — casting eval ids to long would NULL them."""
+    from neuronews_spark.operators.dedup import decontaminate
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    train = spark.createDataFrame(
+        [(101, text), (102, "completely different words entirely here now")],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [("hellaswag-17", text), ("mmlu-3", "nothing like the train rows")],
+        "doc_id string, text string",
+    )
+    rows = decontaminate(train, eval_, jaccard_threshold=0.8).collect()
+    assert rows, "planted contamination not detected"
+    assert {r["eval_id"] for r in rows} == {"hellaswag-17"}
+    assert {r["train_id"] for r in rows} == {101}
+    schema = {f.name: f.dataType.simpleString() for f in decontaminate(
+        train, eval_
+    ).schema.fields}
+    assert schema["eval_id"] == "string" and schema["train_id"] == "bigint"
+
+
+def test_cache_scope_releases_only_inner_pins(spark):
+    """cache_scope must unpersist caches pinned INSIDE the scope and
+    leave earlier pins (plans still live elsewhere) untouched."""
+    from neuronews_spark.operators import dedup
+
+    dedup.release_caches()  # drain
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    other = spark.createDataFrame(
+        [(i, f"zeta eta theta iota kappa {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    outer = dedup.minhash_near_duplicates(docs)  # pins its shingle cache
+    n_outer = len(dedup._PERSISTED)
+    assert n_outer >= 1
+    with dedup.cache_scope():
+        # NOTE: a distinct input — pinning the IDENTICAL plan inside the
+        # scope would alias the same CacheManager entry, which scoped
+        # release cannot protect (documented in cache_scope)
+        dedup.minhash_near_duplicates(other).collect()
+        assert len(dedup._PERSISTED) > n_outer
+    # inner pins gone, outer pin intact and still cached
+    assert len(dedup._PERSISTED) == n_outer
+    assert dedup._PERSISTED[-1].storageLevel.useMemory
+    outer.collect()  # outer plan still consumable against its live cache
+    assert dedup.release_caches() == n_outer
+
+
+def test_repetition_stats_ascii_whitespace(spark):
+    """NBSP is NOT a token separator or trimmable char (ASCII \\s+ parity
+    with the Java/RE2 mirrors) — Python's Unicode split would differ."""
+    from neuronews_spark.operators.text_stats import repetition_stats
+
+    text = "x y x y z"  # 9 chars; ASCII tokens: [x y, x y, z]
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_stats(df).collect()[0]
+    assert r["n_lines"] == 1 and r["dup_line_frac"] == 0.0
+    # bigrams: "x y x y" (smaller, len 7) and "x y z" — tie at
+    # count 1 broken lexicographically; Unicode split would instead find
+    # "x y" twice and report 3/9
+    assert r["top_bigram_char_frac"] == round(7 / 9, 6)
