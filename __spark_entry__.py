@@ -1360,7 +1360,10 @@ def q_er_scale_scored_pairs(spark: SparkSession, sf: str) -> DataFrame:
     # both scale scorers (normalized Levenshtein + Jaro-Winkler) over the
     # real mention surfaces, either-threshold survival — oracled against
     # DuckDB's builtin levenshtein()/jaro_winkler_similarity() (verified
-    # formula-identical: 0.1 prefix weight, 4-char prefix, no boost gate)
+    # formula-identical on 17k random pairs: 0.1 prefix weight, 4-char
+    # prefix, AND the classic 0.7 boost gate — DuckDB gates the boost on
+    # jaro > 0.7, so the kernel runs with boost_threshold=0.7 here; the
+    # ungated variant would diverge on any low-jaro shared-prefix pair)
     _prep(spark)
     from neuronews_spark.operators.conversations import assemble_conversations
     from neuronews_spark.operators.mentions import extract_mentions

@@ -243,13 +243,30 @@ def _jaro(s1: str, s2: str) -> float:
 
 
 def jaro_winkler_batch(
-    a: np.ndarray, b: np.ndarray, prefix_weight: float = 0.1
+    a: np.ndarray,
+    b: np.ndarray,
+    prefix_weight: float = 0.1,
+    boost_threshold: float = 0.0,
 ) -> np.ndarray:
-    """Batched Jaro-Winkler (standard 4-char prefix boost)."""
+    """Batched Jaro-Winkler (4-char prefix boost, weight 0.1).
+
+    ``boost_threshold`` selects between the two published conventions:
+    Winkler's original gates the prefix boost on jaro > 0.7 (what DuckDB's
+    ``jaro_winkler_similarity`` and most C implementations do — pass 0.7
+    to be comparable against them, verified exact on 17k random pairs by
+    ``tests/test_scoring.py``); the ungated variant (default 0.0, e.g.
+    python-jellyfish pre-1.0) always applies the boost and is what the ER
+    scale scorer has used since round 1.  The two differ only when
+    jaro ≤ threshold AND the strings share a prefix — low-similarity
+    pairs that the ER thresholds usually (but not provably) discard.
+    """
     out = np.empty(len(a), dtype=np.float64)
     for i in range(len(a)):
         s1, s2 = a[i], b[i]
         j = _jaro(s1, s2)
+        if j <= boost_threshold:
+            out[i] = j
+            continue
         prefix = 0
         for c1, c2 in zip(s1[:4], s2[:4]):
             if c1 != c2:

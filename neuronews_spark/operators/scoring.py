@@ -221,12 +221,20 @@ def scale_scored_pairs(
     jw_threshold: float = 0.75,
     norm_col: str = "norm",
     type_col: str = "entity_type",
+    jw_boost_threshold: float = 0.7,
 ) -> DataFrame:
     """The north rule's full scale-path scorer surface: prefix-blocked
     candidate pairs scored with BOTH batched normalized Levenshtein and
     batched Jaro-Winkler (Arrow kernels, no per-row Python); a pair
     survives if either scorer clears its threshold. Output:
-    (entity_type, norm_a, norm_b, lev_sim, jaro_winkler)."""
+    (entity_type, norm_a, norm_b, lev_sim, jaro_winkler).
+
+    ``jw_boost_threshold`` defaults to Winkler's classic 0.7 boost gate —
+    the convention DuckDB/C implementations use — so the oracled output
+    is comparable against ``jaro_winkler_similarity`` for EVERY pair, not
+    just pairs whose jaro happens to exceed 0.7 (an ungated kernel would
+    silently over-score low-jaro shared-prefix pairs and both inflate
+    survivor counts and mismatch the mirror's values)."""
 
     @F.pandas_udf(_PAIR_SCORES_SCHEMA)
     def _scores(a: pd.Series, b: pd.Series) -> pd.DataFrame:
@@ -235,7 +243,9 @@ def scale_scored_pairs(
         return pd.DataFrame(
             {
                 "lev_sim": simtext.levenshtein_sim_batch(na, nb),
-                "jaro_winkler": simtext.jaro_winkler_batch(na, nb),
+                "jaro_winkler": simtext.jaro_winkler_batch(
+                    na, nb, boost_threshold=jw_boost_threshold
+                ),
             }
         )
 
