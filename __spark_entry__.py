@@ -499,6 +499,26 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return repetition_stats(lined)
 
 
+def q_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite C4/Gopher cleaning decision per doc (length + composite
+    quality + repetition gates in ONE scan, per-rule audit flags + keep)
+    over documents with the same newline injection as repetition_stats.
+    Thresholds tuned non-degenerate for this corpus: min_tokens=15 (min
+    doc is 10 tokens), min_quality_score=0.7 (~10% fail), Gopher-default
+    repetition caps (a few percent fail top_bigram at 0.20)."""
+    _prep(spark)
+    from neuronews_spark.operators.text_stats import clean_corpus
+
+    docs = _t(spark, sf, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){4}\S+)\s+", "$1\n"
+        ).alias("text"),
+    )
+    return clean_corpus(lined, min_tokens=15, min_quality_score=0.7)
+
+
 def q_line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style corpus-wide line dedup + reassembly over documents
     (newline injection as in repetition_stats).  Output carries
@@ -551,6 +571,38 @@ def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
     )
     return centrality_stats(edges).orderBy("node_id")
+
+
+def q_triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user triangle count + local clustering coefficient over the
+    minute-co-presence graph (users linked when they emit the same
+    event_type within the same minute — 207 edges/150 users at sf0.01,
+    23k/1500 at sf0.1, so the projection stays sparse as the corpus
+    grows).  Exercises the degree-ordered-orientation triangle operator
+    (graph.py triangle_stats); 8 triangles at sf0.01, 8491 at sf0.1."""
+    _prep(spark)
+    from neuronews_spark.operators.graph import triangle_stats
+
+    ev = (
+        _t(spark, sf, "events")
+        .select(
+            "user_id",
+            "event_type",
+            # ts is TIMESTAMP_NTZ; session tz pinned UTC (see
+            # q_cooccurrence_events) so minute-truncation matches DuckDB
+            F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("w"),
+        )
+        .distinct()
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    edges = (
+        a.join(b, ["event_type", "w"])
+        .filter(F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("src"), F.col("b.user_id").alias("dst")
+        )
+    )
+    return triangle_stats(edges)
 
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -1161,6 +1213,23 @@ def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(
         train, eval_, "doc_id", "text", jaccard_threshold=0.9
     )
+
+
+def q_ngram_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 13-gram decontamination (GPT-3 appendix-C style) over the
+    same deterministic train/eval split as q_decontamination: one row per
+    eval doc with its distinct-13-gram count, how many of those grams
+    appear anywhere in train, and the contaminated flag. Complements the
+    whole-doc Jaccard pass: verbatim quoted spans inside otherwise-
+    distinct docs are exactly what n-gram overlap catches and
+    whole-document similarity dilutes away."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import ngram_decontaminate
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_ = docs.filter(F.col("doc_id") % 5 == 0)
+    return ngram_decontaminate(train, eval_, "doc_id", "text", n=13)
 
 
 def q_srp_recall(spark: SparkSession, sf: str) -> DataFrame:
@@ -2355,6 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "line_dedup_docs": q_line_dedup_docs,
         "dup_ngram_coverage": q_dup_ngram_coverage,
+        "ngram_decontamination": q_ngram_decontamination,
+        "triangle_stats": q_triangle_stats,
+        "clean_corpus": q_clean_corpus,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -4936,6 +5008,106 @@ def oracle_sql() -> dict[str, str]:
                      AS top_bigram_char_frac
             FROM lagg l LEFT JOIN bsel b USING (doc_id)
         """,
+        # clean_corpus mirror: composes the doc_quality score formula and
+        # the repetition CTEs over the SAME lined text; per-rule flags
+        # compare UNROUNDED single-division fractions (bit-identical
+        # across engines) exactly as the Spark side does, with threshold
+        # literals cast ::double (DECIMAL literals compare differently)
+        "clean_corpus": f"""
+            WITH lined AS MATERIALIZED (
+              SELECT doc_id,
+                     regexp_replace(coalesce(text, ''),
+                                    '((?:\\S+\\s+){{4}}\\S+)\\s+',
+                                    '\\1' || chr(10), 'g') AS t
+              FROM documents),
+            feat AS MATERIALIZED (
+              SELECT doc_id, t,
+                     length(t) AS n_chars,
+                     list_filter(string_split_regex(t, '\\s+'),
+                                 x -> x <> '') AS toks,
+                     length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS n_alpha
+              FROM lined),
+            q AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     round(least(len(toks) / 20.0, 1.0) * 0.25
+                           + (CASE WHEN n_chars > 0
+                                   THEN n_alpha::double / n_chars
+                                   ELSE 0.0::double END) * 0.25
+                           + least((CASE WHEN len(toks) > 0
+                                         THEN len(list_filter(toks,
+                                                x -> lower(x) IN {_sql_in(_EN)}))::double
+                                              / len(toks)
+                                         ELSE 0.0::double END) * 4.0,
+                                   1.0) * 0.25
+                           + CASE WHEN (CASE WHEN len(toks) > 0
+                                             THEN n_chars::double / len(toks)
+                                             ELSE 0.0::double END) >= 3
+                                   AND (CASE WHEN len(toks) > 0
+                                             THEN n_chars::double / len(toks)
+                                             ELSE 0.0::double END) <= 10
+                                  THEN 0.25 ELSE 0.0 END,
+                           6) AS q_score
+              FROM feat),
+            lines AS MATERIALIZED (
+              SELECT doc_id, line FROM (
+                SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line
+                FROM lined)
+              WHERE line <> ''),
+            lcount AS (
+              SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+            lagg AS (
+              SELECT doc_id,
+                     sum(c) AS n_lines,
+                     sum(c * length(line)) AS tot_line_chars,
+                     sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_extra,
+                     sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+                              ELSE 0 END) AS dup_chars
+              FROM lcount GROUP BY 1),
+            bigr AS (
+              SELECT doc_id, n_chars AS tlen,
+                     unnest(list_transform(range(1, len(toks)),
+                            i -> toks[i] || ' ' || toks[i + 1])) AS bg
+              FROM feat WHERE len(toks) >= 2),
+            bcount AS (
+              SELECT doc_id, any_value(tlen) AS tlen, bg, count(*) AS c
+              FROM bigr GROUP BY doc_id, bg),
+            btop AS (
+              SELECT doc_id, tlen, bg, c,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY c DESC, bg ASC) AS rn
+              FROM bcount),
+            bsel AS (
+              SELECT doc_id, (c * length(bg))::double / tlen AS top_frac
+              FROM btop WHERE rn = 1),
+            flags AS (
+              SELECT q.doc_id, q.n_tokens, q.q_score,
+                     coalesce(l.dup_extra::double / l.n_lines,
+                              0.0::double) AS dlf,
+                     coalesce(CASE WHEN l.tot_line_chars > 0
+                                   THEN l.dup_chars::double / l.tot_line_chars
+                                   ELSE 0.0::double END,
+                              0.0::double) AS dlcf,
+                     coalesce(b.top_frac, 0.0::double) AS tbf
+              FROM q
+              LEFT JOIN lagg l USING (doc_id)
+              LEFT JOIN bsel b USING (doc_id))
+            SELECT doc_id,
+                   n_tokens::bigint AS n_tokens,
+                   q_score,
+                   round(dlf, 6) AS dup_line_frac,
+                   round(dlcf, 6) AS dup_line_char_frac,
+                   round(tbf, 6) AS top_bigram_char_frac,
+                   (n_tokens >= 15 AND n_tokens <= 50000) AS pass_length,
+                   (q_score >= 0.7::double) AS pass_quality,
+                   (dlf <= 0.30::double AND dlcf <= 0.20::double
+                    AND tbf <= 0.20::double) AS pass_repetition,
+                   (n_tokens >= 15 AND n_tokens <= 50000
+                    AND q_score >= 0.7::double
+                    AND dlf <= 0.30::double AND dlcf <= 0.20::double
+                    AND tbf <= 0.20::double) AS keep
+            FROM flags
+        """,
         # corpus-wide line dedup mirror: first occurrence = row_number
         # over (doc_id, idx) per line value; reassembly via
         # string_agg(ORDER BY idx); md5 compared instead of full text.
@@ -5013,6 +5185,81 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN pdd p USING (doc_id)
             LEFT JOIN cov c USING (doc_id)
+        """,
+        # same gram convention as dup_ngram_coverage (string grams stand
+        # in for the Spark side's xxhash64 gram ids; a hash collision at
+        # test scale would mismatch here); short docs fall back to one
+        # whole-sequence gram, mirroring token_shingles
+        "ngram_decontamination": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 13 THEN
+                            list_distinct(list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' ')))
+                          WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+                          ELSE []::varchar[] END AS grams
+              FROM tk),
+            train AS MATERIALIZED (
+              SELECT DISTINCT unnest(grams) AS tg FROM g WHERE doc_id % 5 <> 0),
+            ev AS (
+              SELECT doc_id, grams, len(grams) AS n_grams
+              FROM g WHERE doc_id % 5 = 0),
+            dirty AS (
+              SELECT doc_id, count(*) AS n_dirty FROM (
+                SELECT doc_id, unnest(grams) AS gg FROM ev) u
+              WHERE gg IN (SELECT tg FROM train)
+              GROUP BY doc_id)
+            SELECT e.doc_id AS eval_id,
+                   e.n_grams::bigint AS n_grams,
+                   coalesce(d.n_dirty, 0)::bigint AS n_dirty_grams,
+                   round(CASE WHEN e.n_grams > 0
+                              THEN coalesce(d.n_dirty, 0)::double / e.n_grams
+                              ELSE 0.0::double END, 6) AS dirty_frac,
+                   coalesce(d.n_dirty, 0) > 0 AS contaminated
+            FROM ev e LEFT JOIN dirty d USING (doc_id)
+        """,
+        # triangle mirror counts each triangle once via canonical a<b<c
+        # edge chaining — no need to replay the Spark side's degree
+        # orientation, which is a work-bound trick, not a semantics change
+        "triangle_stats": """
+            WITH e AS (
+              SELECT DISTINCT user_id, event_type,
+                     date_trunc('minute', ts) AS w
+              FROM events),
+            ed AS MATERIALIZED (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM e a JOIN e b USING (event_type, w)
+              WHERE a.user_id < b.user_id),
+            deg AS (
+              SELECT node_id, count(*) AS degree FROM (
+                SELECT u AS node_id FROM ed
+                UNION ALL
+                SELECT v AS node_id FROM ed) n
+              GROUP BY node_id),
+            tri AS (
+              SELECT t1.u AS x, t1.v AS y, t2.v AS z
+              FROM ed t1
+              JOIN ed t2 ON t1.v = t2.u
+              JOIN ed t3 ON t3.u = t1.u AND t3.v = t2.v),
+            pn AS (
+              SELECT node_id, count(*) AS triangles FROM (
+                SELECT x AS node_id FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) t
+              GROUP BY node_id)
+            SELECT d.node_id,
+                   d.degree::bigint AS degree,
+                   coalesce(p.triangles, 0)::bigint AS triangles,
+                   round(CASE WHEN d.degree >= 2
+                              THEN 2.0 * coalesce(p.triangles, 0)::double
+                                   / (d.degree * (d.degree - 1))
+                              ELSE 0.0::double END, 6) AS clustering
+            FROM deg d LEFT JOIN pn p USING (node_id)
         """,
         # media_* mirrors: the query output is sf-independent (seeded
         # synthetic BMP media), so the mirror pins the expected rows as

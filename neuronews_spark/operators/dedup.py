@@ -410,6 +410,104 @@ def decontaminate(
     )
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Exact n-gram decontamination (the GPT-3 appendix-C / PaLM family
+    of methods): an eval document is dirty to the degree its token
+    n-grams appear ANYWHERE in the training corpus — the exact-overlap
+    complement of :func:`decontaminate`'s whole-document near-dup test,
+    catching verbatim quoted spans that whole-doc Jaccard dilutes away.
+
+    Returns one row per eval doc (clean docs included, so the output
+    cardinality is |eval|): ``(eval_id, n_grams, n_dirty_grams,
+    dirty_frac, contaminated)`` where n_grams counts the doc's DISTINCT
+    n-grams, n_dirty_grams those also present in train, and
+    contaminated = n_dirty_grams > 0.
+
+    Gram convention matches :func:`token_shingles` / the whitespace
+    tokenizer used corpus-wide: lowercase, split on ``\\s+``; a doc with
+    1 ≤ tokens < n contributes its full token sequence as ONE gram (so
+    short eval items — quiz answers, single sentences — are still
+    testable, and only collide with equally-short train grams); an
+    empty/NULL doc scores (0, 0, 0.0, false).
+
+    Scale plan: gram identity travels as xxhash64 — per-doc dedup via
+    ``array_distinct`` BEFORE the explode (zero-shuffle), so the wide
+    ops are (1) the train-gram ``distinct`` (int-only, map-side partial
+    agg collapses hot boilerplate grams — the skew guard), (2) one
+    hash-keyed left-semi join, (3) one groupBy on eval id.  No token
+    string crosses a shuffle.  2⁻⁶⁴ hash collisions could mark a clean
+    gram dirty; deterministic and negligible (the mirror groups by the
+    gram string itself, so the oracle would catch a collision at test
+    scale).
+    """
+
+    def _doc_grams(df: DataFrame) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+        )
+        return df.select(
+            F.col(id_col).alias("_id"), toks.alias("_t")
+        ).select(
+            "_id",
+            F.when(
+                F.size("_t") >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_t") - n),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("_t", i + 1, n))
+                        ),
+                    )
+                ),
+            )
+            .when(
+                F.size("_t") >= 1,
+                F.array(F.xxhash64(F.concat_ws(" ", "_t"))),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_g"),
+        )
+
+    train_grams = (
+        _doc_grams(train).select(F.explode("_g").alias("_h")).distinct()
+    )
+    eval_docs = _doc_grams(eval_).select(
+        "_id", "_g", F.size("_g").alias("n_grams")
+    )
+    dirty = (
+        eval_docs.select("_id", F.explode("_g").alias("_h"))
+        .join(train_grams, "_h", "left_semi")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_dirty_grams"))
+    )
+    return (
+        eval_docs.select("_id", "n_grams")
+        .join(dirty, "_id", "left")
+        .select(
+            F.col("_id").alias("eval_id"),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce("n_dirty_grams", F.lit(0))
+            .cast("bigint")
+            .alias("n_dirty_grams"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce("n_dirty_grams", F.lit(0)).cast("double")
+                    / F.col("n_grams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dirty_frac"),
+            (F.coalesce("n_dirty_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash_from_hashes_udf():

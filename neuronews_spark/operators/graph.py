@@ -313,3 +313,100 @@ def component_stats(components: DataFrame) -> DataFrame:
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).alias("n_components")
     ).orderBy("size")
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected simple view of ``edges(src, dst)`` (self-loops dropped,
+    duplicates/both-direction rows collapsed).  Returns
+    ``(node_id, degree, triangles, clustering)`` with
+    ``clustering = 2·T / (d·(d-1))`` and 0.0 when d < 2 — the reference
+    exposes no triangle metric, but the KG-health suite (metrics.py's
+    degree/centrality family) is exactly where clustering coefficient
+    belongs, and it is the standard cohesion metric over co-occurrence
+    graphs.
+
+    Degree-ordered orientation (Schank & Wagner 2005; the standard
+    distributed-triangle trick): every undirected edge {u, v} is
+    directed from the endpoint with the smaller (degree, id) key, so
+    each triangle is enumerated exactly once at its lowest-degree apex
+    and the wedge self-join fans out in O(Σ out_deg²) = O(m^{3/2})
+    total wedges instead of the O(Σ deg²) an unoriented join pays —
+    on a power-law graph the hot node's wedge work collapses from
+    d_max² to ~m, which is the difference between a plan that survives
+    a 100× scale-up and one that dies on the first celebrity node.
+    Shuffle inventory: degree groupBy, orientation join (edge ⋈ degree
+    ×2, degree side is (node, count) — small), wedge self-join keyed on
+    the apex, closure join keyed on the (v, w) edge pair, final
+    explode+groupBy on node id.  All payloads are (id, int) pairs.
+    """
+    canon = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.explode(F.array("a", "b")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    da = deg.select(F.col("node_id").alias("a"), F.col("degree").alias("_da"))
+    db = deg.select(F.col("node_id").alias("b"), F.col("degree").alias("_db"))
+    # orient u→v from the smaller (degree, id) key; carry v's key so the
+    # wedge join can order the two out-neighbors without re-joining deg
+    before = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        canon.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(before, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(before, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(before, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+        )
+    )
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    v_before_w = (F.col("e1._dv") < F.col("e2._dv")) | (
+        (F.col("e1._dv") == F.col("e2._dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    # wedge v ←u→ w with v ≺ w in orientation order ⇒ the closing edge,
+    # if present, is oriented exactly v→w — one equi-join, no disjunction
+    tri = (
+        e1.join(e2, (F.col("e1.u") == F.col("e2.u")) & v_before_w)
+        .select(
+            F.col("e1.u").alias("x"),
+            F.col("e1.v").alias("y"),
+            F.col("e2.v").alias("z"),
+        )
+        .join(
+            e3.select(F.col("e3.u").alias("y"), F.col("e3.v").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node_id", "left")
+        .select(
+            "node_id",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("triangles", F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0)).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -345,6 +345,22 @@ def repetition_stats(
     ``str.split()``/``str.strip()`` would treat NBSP etc. as separators
     and silently diverge from every mirror.
     """
+    return (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(id_col), _repetition_udf()(F.col(text_col)).alias("_s"))
+        .select(
+            id_col,
+            F.col("_s.n_lines").alias("n_lines"),
+            F.round("_s.dup_line_frac", 6).alias("dup_line_frac"),
+            F.round("_s.dup_line_char_frac", 6).alias("dup_line_char_frac"),
+            F.round("_s.top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def _repetition_udf():
+    """The repetition-stats Arrow kernel as a reusable struct UDF
+    (shared by :func:`repetition_stats` and :func:`clean_corpus`)."""
     _ws = re.compile(r"\s+", flags=re.ASCII)
 
     @F.pandas_udf(
@@ -388,17 +404,7 @@ def repetition_stats(
             ],
         )
 
-    return (
-        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
-        .select(F.col(id_col), _stats(F.col(text_col)).alias("_s"))
-        .select(
-            id_col,
-            F.col("_s.n_lines").alias("n_lines"),
-            F.round("_s.dup_line_frac", 6).alias("dup_line_frac"),
-            F.round("_s.dup_line_char_frac", 6).alias("dup_line_char_frac"),
-            F.round("_s.top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
-        )
-    )
+    return _stats
 
 
 def pack_documents(
@@ -457,4 +463,68 @@ def pack_documents(
         "cum_before", F.coalesce(F.sum("est_tokens").over(w), F.lit(0))
     ).withColumn(
         "pack_id", F.floor(F.col("cum_before") / F.lit(max_tokens)).cast("long")
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 15,
+    max_tokens: int = 50_000,
+    min_quality_score: float = 0.5,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_bigram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Composite C4/Gopher-style corpus cleaner: the standard pretraining
+    keep/drop decision as ONE pass — length bounds (C4), composite
+    quality score (:func:`quality_features`), and the Gopher repetition
+    gates (:func:`repetition_stats` thresholds: dup-line 0.30, dup-line-
+    char 0.20, top-bigram-char 0.20 — Rae et al. 2021 §A1.1 defaults).
+
+    Returns EVERY input doc (auditable, not silently filtered):
+    ``(id, n_tokens, q_score, dup_line_frac, dup_line_char_frac,
+    top_bigram_char_frac, pass_length, pass_quality, pass_repetition,
+    keep)`` with ``keep = pass_length ∧ pass_quality ∧ pass_repetition``.
+    Materializing the per-rule flags instead of the surviving subset is
+    deliberate: at 100 TB you want drop-rate-per-rule observability (one
+    grouped agg over this output) before committing to a filter config,
+    and the kept subset is a trivial ``.filter("keep")`` away.
+
+    Single scan, zero shuffle, zero join: the quality Column math and
+    the repetition Arrow kernel evaluate in one projection — composing
+    the two already-oracled operators without re-reading or self-joining
+    the corpus.  NULL/empty docs score (0 tokens, 0.0 everywhere) and
+    fail the length gate rather than disappearing.
+    """
+    q = quality_features(
+        df.select(F.col(id_col), F.col(text_col)), text_col=text_col
+    )
+    s = q.select(
+        F.col(id_col),
+        F.col("q_n_tokens"),
+        F.col("q_score"),
+        _repetition_udf()(F.coalesce(F.col(text_col), F.lit(""))).alias("_r"),
+    )
+    pass_length = (F.col("q_n_tokens") >= min_tokens) & (
+        F.col("q_n_tokens") <= max_tokens
+    )
+    pass_quality = F.col("q_score") >= min_quality_score
+    pass_rep = (
+        (F.col("_r.dup_line_frac") <= max_dup_line_frac)
+        & (F.col("_r.dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("_r.top_bigram_char_frac") <= max_top_bigram_char_frac)
+    )
+    return s.select(
+        id_col,
+        F.col("q_n_tokens").cast("bigint").alias("n_tokens"),
+        "q_score",
+        F.round("_r.dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("_r.dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.round("_r.top_bigram_char_frac", 6).alias("top_bigram_char_frac"),
+        pass_length.alias("pass_length"),
+        pass_quality.alias("pass_quality"),
+        pass_rep.alias("pass_repetition"),
+        (pass_length & pass_quality & pass_rep).alias("keep"),
     )

@@ -69,3 +69,84 @@ def test_component_stats(spark):
     )
     got = {r["size"]: r["n_components"] for r in component_stats(comp).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4-minus-one-edge ∪ a pendant node ∪ a disjoint triangle, given as
+    messy directed input (dups, both directions, a self-loop):
+    K4\{c,d}: a-b a-c a-d b-c b-d → triangles abc, abd; pendant e-a;
+    disjoint triangle x-y-z."""
+    from neuronews_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+            ("b", "d"), ("b", "d"),  # dup
+            ("e", "a"),
+            ("x", "y"), ("y", "z"), ("z", "x"),
+            ("c", "c"),  # self-loop dropped
+        ],
+        "src string, dst string",
+    )
+    got = {r["node_id"]: r for r in triangle_stats(edges).collect()}
+    exp = {
+        # node: (degree, triangles, clustering)
+        "a": (4, 2, 2 * 2 / (4 * 3)),
+        "b": (3, 2, 2 * 2 / (3 * 2)),
+        "c": (2, 1, 1.0),
+        "d": (2, 1, 1.0),
+        "e": (1, 0, 0.0),
+        "x": (2, 1, 1.0),
+        "y": (2, 1, 1.0),
+        "z": (2, 1, 1.0),
+    }
+    assert set(got) == set(exp)
+    for n, (d, t, c) in exp.items():
+        assert got[n]["degree"] == d, n
+        assert got[n]["triangles"] == t, n
+        assert got[n]["clustering"] == round(c, 6), n
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    """Random graph vs an itertools brute force — orientation must count
+    every triangle exactly once regardless of degree ties."""
+    import itertools
+    import random
+
+    from neuronews_spark.operators.graph import triangle_stats
+
+    rng = random.Random(11)
+    nodes = [f"n{i:02d}" for i in range(24)]
+    und = {
+        tuple(sorted(p))
+        for p in itertools.combinations(nodes, 2)
+        if rng.random() < 0.18
+    }
+    edges = spark.createDataFrame(
+        [(a, b) if rng.random() < 0.5 else (b, a) for a, b in und],
+        "src string, dst string",
+    )
+    tri_per_node = {n: 0 for n in nodes}
+    deg = {n: 0 for n in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    n_tri = 0
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (
+            tuple(sorted((a, b))) in und
+            and tuple(sorted((b, c))) in und
+            and tuple(sorted((a, c))) in und
+        ):
+            n_tri += 1
+            for v in (a, b, c):
+                tri_per_node[v] += 1
+    got = {r["node_id"]: r for r in triangle_stats(edges).collect()}
+    assert n_tri > 0  # non-degenerate draw
+    assert sum(r["triangles"] for r in got.values()) == 3 * n_tri
+    for n in nodes:
+        if deg[n] == 0:
+            assert n not in got  # isolated nodes have no edge rows
+            continue
+        assert got[n]["degree"] == deg[n], n
+        assert got[n]["triangles"] == tri_per_node[n], n

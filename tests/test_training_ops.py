@@ -934,3 +934,79 @@ def test_repetition_stats_ascii_whitespace(spark):
     # count 1 broken lexicographically; Unicode split would instead find
     # "x y" twice and report 3/9
     assert r["top_bigram_char_frac"] == round(7 / 9, 6)
+
+
+def test_ngram_decontaminate_planted(spark):
+    """A verbatim 13-token span quoted inside an otherwise-different eval
+    doc must flag (the case whole-doc Jaccard dilutes away); short docs
+    fall back to one whole-sequence gram; empty docs score clean."""
+    from neuronews_spark.operators.dedup import ngram_decontaminate
+
+    span = " ".join(f"w{i}" for i in range(13))  # 13 tokens
+    train = spark.createDataFrame(
+        [
+            (1, span + " plus unrelated trailing training prose here"),
+            (2, "tiny doc"),  # short: whole-sequence gram
+        ],
+        "doc_id long, text string",
+    )
+    filler_a = " ".join(f"a{i}" for i in range(20))
+    filler_b = " ".join(f"b{i}" for i in range(20))
+    eval_ = spark.createDataFrame(
+        [
+            # 53 tokens, 41 grams, exactly one dirty (the quoted span)
+            (10, filler_a + " " + span + " " + filler_b),
+            (11, "tiny doc"),  # short-gram exact hit
+            (12, "tiny document"),  # short but different → clean
+            (13, " ".join(f"c{i}" for i in range(30))),  # long, clean
+            (14, ""),  # empty → (0, 0, 0.0, false)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["eval_id"]: r
+        for r in ngram_decontaminate(train, eval_, n=13).collect()
+    }
+    assert set(got) == {10, 11, 12, 13, 14}
+    assert got[10]["n_grams"] == 41 and got[10]["n_dirty_grams"] == 1
+    assert got[10]["contaminated"] is True
+    assert got[10]["dirty_frac"] == round(1 / 41, 6)
+    assert got[11]["n_grams"] == 1 and got[11]["contaminated"] is True
+    assert got[12]["contaminated"] is False
+    assert got[13]["n_grams"] == 18 and got[13]["n_dirty_grams"] == 0
+    assert got[14]["n_grams"] == 0 and got[14]["dirty_frac"] == 0.0
+    assert got[14]["contaminated"] is False
+
+
+def test_clean_corpus_hand_rows(spark):
+    """Each gate isolated on a crafted doc; NULL/empty docs surface as
+    keep=false rows instead of disappearing."""
+    from neuronews_spark.operators.text_stats import clean_corpus
+
+    good = (
+        "the report said that it was a good day for the market and "
+        "investors were pleased with results overall today"
+    )  # 19 alpha tokens, stopword-rich → passes everything
+    short = "the tiny doc is here"  # 5 tokens < 15
+    junk = " ".join(["123456789012!!!"] * 20)  # no alpha, no stopwords
+    repet = "spam ham " * 60  # top bigram dominates the text
+    rows = [(1, good), (2, short), (3, junk), (4, repet.strip()), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in clean_corpus(
+            df, min_tokens=15, min_quality_score=0.7
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["keep"] is True and got[1]["pass_repetition"] is True
+    assert got[2]["pass_length"] is False and got[2]["keep"] is False
+    assert got[3]["pass_quality"] is False and got[3]["keep"] is False
+    assert got[4]["pass_repetition"] is False and got[4]["keep"] is False
+    assert got[4]["top_bigram_char_frac"] > 0.2
+    assert got[5]["n_tokens"] == 0 and got[5]["keep"] is False
+    # flags must be consistent with the emitted fractions/score
+    for r in got.values():
+        assert r["keep"] == (
+            r["pass_length"] and r["pass_quality"] and r["pass_repetition"]
+        )
