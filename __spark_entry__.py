@@ -1215,6 +1215,23 @@ def q_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal over documents (Lee et
+    al. 2021): corpus-duplicated 13-gram spans are deleted except their
+    first (min doc, position) occurrence, docs reassembled from the
+    surviving tokens.  Output carries md5(text) like line_dedup_docs so
+    the compare payload stays small; the mirror recomputes keeper/loser
+    occurrences with windows over string grams and reassembles with
+    string_agg(ORDER BY idx).  45/500 docs carry duplicated spans at
+    sf0.01, so removal is non-degenerate."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        _t(spark, sf, "documents"), "doc_id", "text", n=13
+    )
+
+
 def q_ngram_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     """Exact 13-gram decontamination (GPT-3 appendix-C style) over the
     same deterministic train/eval split as q_decontamination: one row per
@@ -2427,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_decontamination": q_ngram_decontamination,
         "triangle_stats": q_triangle_stats,
         "clean_corpus": q_clean_corpus,
+        "dedup_spans": q_dedup_spans,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -5222,6 +5240,56 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0::double END, 6) AS dirty_frac,
                    coalesce(d.n_dirty, 0) > 0 AS contaminated
             FROM ev e LEFT JOIN dirty d USING (doc_id)
+        """,
+        # keeper/loser via windows over string grams; reassembly is
+        # string_agg(ORDER BY token idx) vs Spark's in-row array filter —
+        # md5 over the token-joined text compared, never the full text
+        "dedup_spans": """
+            WITH tk AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            base AS MATERIALIZED (
+              SELECT doc_id, t, len(t) AS L FROM tk),
+            grams AS MATERIALIZED (
+              SELECT doc_id, i, array_to_string(t[i+1:i+13], ' ') AS g
+              FROM (SELECT doc_id, t, unnest(range(L - 12)) AS i
+                    FROM base WHERE L >= 13) s),
+            gr AS MATERIALIZED (
+              SELECT doc_id, i,
+                     count(*) OVER (PARTITION BY g) AS c,
+                     row_number() OVER (PARTITION BY g
+                       ORDER BY doc_id, i) AS rn
+              FROM grams),
+            dup AS MATERIALIZED (
+              SELECT doc_id, i, (rn = 1) AS keep FROM gr WHERE c > 1),
+            prot AS MATERIALIZED (
+              SELECT DISTINCT doc_id, i + unnest(range(13)) AS x
+              FROM dup WHERE keep),
+            rem AS MATERIALIZED (
+              SELECT doc_id, x FROM (
+                SELECT DISTINCT doc_id, i + unnest(range(13)) AS x
+                FROM dup WHERE NOT keep) r
+              ANTI JOIN prot USING (doc_id, x)),
+            nrem AS (
+              SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id),
+            tokpos AS (
+              SELECT doc_id, x, t[x + 1] AS tok FROM (
+                SELECT doc_id, t, unnest(range(len(t))) AS x FROM tk) s),
+            kept AS (
+              SELECT doc_id, x, tok FROM tokpos ANTI JOIN rem USING (doc_id, x)),
+            agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY x) AS txt
+              FROM kept GROUP BY doc_id)
+            SELECT b.doc_id,
+                   b.L::bigint AS n_tokens,
+                   coalesce(r.n_removed, 0)::bigint AS n_removed,
+                   md5(coalesce(a.txt, '')) AS text_md5
+            FROM base b
+            LEFT JOIN nrem r USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)
         """,
         # triangle mirror counts each triangle once via canonical a<b<c
         # edge chaining — no need to replay the Spark side's degree

@@ -103,8 +103,15 @@ ER_STRESS_TURNS = int(os.environ.get("SPARK_GRAFT_ER_STRESS_TURNS", 10_000_000))
 SKIP_ER_STRESS = os.environ.get("SPARK_GRAFT_SKIP_ER_STRESS", "") == "1"
 # the driver tail-captures a bounded number of bytes: the printed line
 # carries only headline numbers; bulky per-sample arrays go to a sidecar
+# smoke runs (scaling skipped) write a separate sidecar so they can never
+# clobber the last full-protocol scaling snapshot
 DETAIL_PATH = os.environ.get(
-    "SPARK_GRAFT_BENCH_DETAIL", os.path.join(_REPO, "docs", "bench_detail_latest.json")
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(
+        _REPO,
+        "docs",
+        "bench_detail_smoke.json" if SKIP_SCALING else "bench_detail_latest.json",
+    ),
 )
 SCALING_COMPACT_KEYS = (
     "cores_n", "cores_4n", "rounds",

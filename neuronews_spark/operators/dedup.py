@@ -410,6 +410,118 @@ def decontaminate(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Duplicated-span REMOVAL (the transformation half of Lee et al.
+    2021's ExactSubstr dedup; :func:`dup_ngram_coverage` is the
+    measurement half): for every token n-gram that occurs ≥2 times
+    corpus-wide, keep its first occurrence and delete the tokens of
+    every other occurrence, then reassemble each document from its
+    surviving tokens.
+
+    Exact rule (deterministic, order-free): the KEEPER of a gram is its
+    minimum (doc, position) occurrence; a token index is deleted iff it
+    is covered by ≥1 loser occurrence AND by no keeper occurrence in
+    the same document — so the canonical copy of a boilerplate span
+    survives verbatim (even when its doc also contains loser spans) and
+    every other copy vanishes.  Reassembly is token-joined (single
+    spaces, lowercase — the tokenizer's view), NOT byte-faithful;
+    returns ``(id, n_tokens, n_removed, text_md5)`` with the md5 over
+    the reassembled text so the compare payload stays small.  Docs
+    shorter than ``n`` tokens pass through unchanged.
+
+    Scale plan: identical shuffle topology to dup_ngram_coverage (gram
+    ids as xxhash64, (hash, doc, pos) int shuffles, map-side combine on
+    hot grams) plus one min-struct agg for keepers and two (doc, token
+    index) distinct sets bounded by n · dup_occurrences; the final
+    token-drop is per-row array logic (no reassembly shuffle — kept
+    tokens never leave their row).
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_t")
+    ).select("_id", "_t", F.size("_t").alias("_L"))
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(base)
+    grams = base.filter(F.col("_L") >= n).select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_L") - n),
+                lambda i: F.xxhash64(F.concat_ws(" ", F.slice("_t", i + 1, n))),
+            )
+        ).alias("_i", "_h"),
+    )
+    occ = grams.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(F.struct("_id", "_i")).alias("_w"),
+    )
+    dup_occ = grams.join(
+        occ.filter(F.col("_c") > 1).select("_h", "_w"), "_h"
+    ).select(
+        "_id",
+        "_i",
+        (
+            (F.col("_id") == F.col("_w._id")) & (F.col("_i") == F.col("_w._i"))
+        ).alias("_keep"),
+    )
+    span_idx = lambda side: (  # noqa: E731  (doc, token index) set
+        side.select(
+            "_id",
+            F.explode(F.sequence(F.col("_i"), F.col("_i") + (n - 1))).alias(
+                "_x"
+            ),
+        ).distinct()
+    )
+    protected = span_idx(dup_occ.filter(F.col("_keep")))
+    removed = (
+        span_idx(dup_occ.filter(~F.col("_keep")))
+        .join(protected, ["_id", "_x"], "left_anti")
+        .groupBy("_id")
+        .agg(F.collect_set("_x").alias("_rm"))
+    )
+    return (
+        base.join(removed, "_id", "left")
+        .select(
+            "_id",
+            "_t",
+            "_L",
+            F.coalesce("_rm", F.array().cast("array<int>")).alias("_rm"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_L").cast("bigint").alias("n_tokens"),
+            F.size("_rm").cast("bigint").alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.filter(
+                            F.zip_with(
+                                F.col("_t"),
+                                F.sequence(F.lit(0), F.col("_L") - 1),
+                                lambda tok, i: F.struct(
+                                    tok.alias("tok"), i.alias("i")
+                                ),
+                            ),
+                            lambda s: ~F.array_contains(
+                                F.col("_rm"), s["i"]
+                            ),
+                        ),
+                        lambda s: s["tok"],
+                    ),
+                )
+            ).alias("text_md5"),
+        )
+    )
+
+
 def ngram_decontaminate(
     train: DataFrame,
     eval_: DataFrame,

@@ -93,3 +93,20 @@ def test_minhash_verify_joins_arrays_after_pair_dedup(spark):
     # dedup on ids happens (HashAggregate on id_a/id_b or dropDuplicates →
     # aggregate), and the shingle payload join is present
     assert "id_a" in plan and "shingles" in plan
+
+
+def test_clean_corpus_is_single_pass_no_shuffle(spark, sf_dir):
+    """The composite cleaner claims one scan, zero shuffle, zero join —
+    the quality Column math and the repetition Arrow kernel must fuse
+    into a single projection pipeline."""
+    import re
+
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["clean_corpus"](spark, sf_dir))
+    assert not re.findall(r"\(\d+\) Exchange\b", plan)
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "Python" in plan  # the kernel
+    # count numbered plan nodes only — the formatted header repeats names
+    scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert scans == 1, f"expected one documents scan, saw {scans}"

@@ -1010,3 +1010,38 @@ def test_clean_corpus_hand_rows(spark):
         assert r["keep"] == (
             r["pass_length"] and r["pass_quality"] and r["pass_repetition"]
         )
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """First occurrence of a corpus-duplicated 13-gram survives verbatim;
+    every other occurrence's tokens are deleted (unless protected by a
+    keeper span in the same doc); short docs pass through unchanged."""
+    import hashlib
+
+    from neuronews_spark.operators.dedup import remove_duplicate_spans
+
+    span = [f"s{i}" for i in range(13)]
+    fill_a = [f"a{i}" for i in range(5)]
+    fill_b = [f"b{i}" for i in range(5)]
+    fill_c = [f"c{i}" for i in range(5)]
+    rows = [
+        (1, " ".join(span + fill_a)),            # keeper (min doc, pos 0)
+        (2, " ".join(fill_b + span + fill_c)),   # loser at pos 5
+        (4, " ".join(span + ["x"] + span)),      # two losers, x survives
+        (5, "short doc under thirteen tokens"),  # < n → unchanged
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in remove_duplicate_spans(df, n=13).collect()
+    }
+    md5 = lambda toks: hashlib.md5(" ".join(toks).encode()).hexdigest()
+    assert got[1]["n_removed"] == 0
+    assert got[1]["text_md5"] == md5(span + fill_a)
+    assert got[2]["n_removed"] == 13
+    assert got[2]["text_md5"] == md5(fill_b + fill_c)
+    assert got[4]["n_removed"] == 26
+    assert got[4]["text_md5"] == md5(["x"])
+    assert got[5]["n_removed"] == 0
+    assert got[5]["text_md5"] == md5(["short", "doc", "under", "thirteen", "tokens"])
+    # conservation: n_tokens is pre-removal
+    assert got[4]["n_tokens"] == 27 and got[2]["n_tokens"] == 23
