@@ -554,6 +554,97 @@ def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     return dup_ngram_coverage(_t(spark, sf, "documents"), n=13)
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over embeddings: deterministic
+    sign-bit cells (axis-aligned SRP, first 6 dims → 64 cells) +
+    greedy lowest-id-wins pruning at cosine ≥ 0.3 (within-label cosine
+    tops out near 0.47 on this corpus, so 0.3 drops a real fraction:
+    46/56/594 rows at sf0.001/0.01/0.1).  Emits every row with its
+    keep/audit columns — the kept subset is ``.filter("keep")``."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import semdedup
+
+    return semdedup(
+        _t(spark, sf, "embeddings"), "vec_id", "embedding",
+        sign_bits=6, threshold=0.3,
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style (Xie et al. 2023) importance score of every document
+    against the target corpus "lang = 'en'": per-token smoothed
+    unigram log-likelihood ratio, quantized to integer micro-nats per
+    distinct token, summed exactly per doc (integer addition — no
+    float-reassociation hazard across engines/partitionings).
+
+    The operator's derived mean_micro_nats is excluded from the oracle
+    surface: scores like -41829/40 = -1045.725 land exactly on the
+    round(x, 2) half-cent boundary, where the two engines' double
+    representations legitimately disagree (3 such rows at sf0.1) —
+    the same hazard class BASELINE.md documents for float sums."""
+    _prep(spark)
+    from neuronews_spark.operators.importance import dsir_scores
+
+    docs = _t(spark, sf, "documents")
+    return dsir_scores(docs, is_target=F.col("lang") == "en").drop(
+        "mean_micro_nats"
+    )
+
+
+def q_er_block_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking-strategy audit (block_stats_summary) over the four
+    SQL-expressible key families ('x' exact, 's' sorted-token fuzzy,
+    'f' squashed 4-prefix, 'p' person-surname) of the doc-mention
+    entity set: per family the exact candidate-pair bill and what a
+    max_block_size=16 cap would drop — the pre-flight you run before
+    committing a blocking config at 100 TB.  Integer-only output.
+    The full key set including minhash bands is exercised end-to-end
+    by the ER pipeline itself (bench er/er_stress legs)."""
+    _prep(spark)
+    from neuronews_spark.functions.normalize import fuzzy_sort_key
+    from neuronews_spark.operators.blocking import block_stats_summary
+
+    d = _t(spark, sf, "documents")
+    ents = F.expr(r"regexp_extract_all(text, '([a-z]{4,} [a-z]{4,})', 1)")
+    typed = (
+        d.select(F.explode(ents).alias("norm"))
+        .distinct()
+        .select(
+            "norm",
+            F.when(F.col("norm").rlike("s$"), "ORGANIZATION")
+            .when(F.col("norm").rlike("^[a-z]{5} "), "PERSON")
+            .otherwise(F.lit("CONCEPT"))
+            .alias("entity_type"),
+        )
+    )
+    keys = F.concat(
+        F.array(F.concat_ws("|", F.lit("x"), F.col("entity_type"), F.col("norm"))),
+        F.array(
+            F.concat_ws(
+                "|", F.lit("s"), F.col("entity_type"), fuzzy_sort_key(F.col("norm"))
+            )
+        ),
+        F.array(
+            F.concat_ws(
+                "|",
+                F.lit("f"),
+                F.col("entity_type"),
+                F.substring(F.regexp_replace("norm", " ", ""), 1, 4),
+            )
+        ),
+        F.when(
+            F.col("entity_type") == "PERSON",
+            F.array(
+                F.concat_ws(
+                    "|", F.lit("p"), F.element_at(F.split(F.col("norm"), " "), -1)
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    blocks = typed.select(F.explode(keys).alias("block_key"))
+    return block_stats_summary(blocks, cap=16)
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2445,6 +2536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "clean_corpus": q_clean_corpus,
         "dedup_spans": q_dedup_spans,
+        "semdedup": q_semdedup,
+        "dsir_weights": q_dsir_weights,
+        "er_block_stats": q_er_block_stats,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -5290,6 +5384,111 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN nrem r USING (doc_id)
             LEFT JOIN agg a USING (doc_id)
+        """,
+        # SemDeDup: sign-bit cells are plain CASE arithmetic on the raw
+        # dims; the greedy lowest-id-wins prune is a max over lower-id
+        # cell-mates — same round(cos, 6) surface as embedding_near_dups
+        "semdedup": """
+            WITH v AS MATERIALIZED (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                   + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                   + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                   + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                   + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                   + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                     AS cell
+              FROM embeddings),
+            sz AS (SELECT cell, count(*)::BIGINT AS n_cell
+                   FROM v GROUP BY cell),
+            prior AS (
+              SELECT a.vec_id,
+                     max(round(list_cosine_similarity(a.e, b.e), 6))
+                       AS max_sim_prior
+              FROM v a JOIN v b ON a.cell = b.cell AND b.vec_id < a.vec_id
+              GROUP BY a.vec_id)
+            SELECT v.vec_id, v.cell::INT AS cell, sz.n_cell,
+                   p.max_sim_prior,
+                   (p.max_sim_prior IS NULL
+                    OR p.max_sim_prior < 0.3::DOUBLE) AS keep
+            FROM v JOIN sz USING (cell)
+            LEFT JOIN prior p ON p.vec_id = v.vec_id
+        """,
+        # DSIR: per-token weights quantized to bigint micro-nats BEFORE the
+        # per-doc sum, so both engines add integers (associative) — the
+        # only floats are one ln()/round() per distinct token
+        "dsir_weights": """
+            WITH tk AS MATERIALIZED (
+              SELECT doc_id, (lang = 'en') AS is_t, tok
+              FROM (SELECT doc_id, lang,
+                           unnest(string_split_regex(lower(text), '\\s+'))
+                             AS tok
+                    FROM documents) s
+              WHERE tok <> ''),
+            vocab AS (
+              SELECT tok, count(*) AS a_c,
+                     count(*) FILTER (is_t) AS t_c
+              FROM tk GROUP BY tok),
+            tot AS (
+              SELECT sum(a_c) AS a_tot, sum(t_c) AS t_tot,
+                     count(*) AS v FROM vocab),
+            w AS (
+              SELECT tok,
+                     CAST(round(1e6 * (ln(t_c + 1) - ln(a_c + 1)
+                          + ln((a_tot + v)::DOUBLE)
+                          - ln((t_tot + v)::DOUBLE)), 0) AS BIGINT) AS w_q
+              FROM vocab, tot)
+            SELECT tk.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   sum(w.w_q)::BIGINT AS score_micro_nats
+            FROM tk JOIN w USING (tok)
+            GROUP BY tk.doc_id
+        """,
+        # blocking audit: exact integer block-size/pair-bill arithmetic
+        # over the four SQL-expressible key families; the 's' key repeats
+        # the fuzzy_sort_keys mirror's stopword filter verbatim
+        "er_block_stats": """
+            WITH m AS (
+              SELECT DISTINCT
+                     unnest(regexp_extract_all(
+                       text, '([a-z]{4,} [a-z]{4,})', 1)) AS norm
+              FROM documents),
+            typed AS (
+              SELECT norm,
+                     CASE WHEN regexp_matches(norm, 's$') THEN 'ORGANIZATION'
+                          WHEN regexp_matches(norm, '^[a-z]{5} ')
+                            THEN 'PERSON'
+                          ELSE 'CONCEPT' END AS entity_type
+              FROM m),
+            keys AS (
+              SELECT 'x|' || entity_type || '|' || norm AS block_key
+              FROM typed
+              UNION ALL
+              SELECT 's|' || entity_type || '|' || array_to_string(list_sort(
+                       list_filter(string_split(norm, ' '),
+                         x -> x <> '' AND x NOT IN ('the', 'a', 'an', 'and',
+                           'or', 'but', 'in', 'on', 'at', 'to', 'for', 'o',
+                           'with', 'by', 'is', 'are', 'was', 'were'))), ' ')
+              FROM typed
+              UNION ALL
+              SELECT 'f|' || entity_type || '|'
+                     || substr(replace(norm, ' ', ''), 1, 4)
+              FROM typed
+              UNION ALL
+              SELECT 'p|' || split_part(norm, ' ', 2)
+              FROM typed WHERE entity_type = 'PERSON'),
+            sizes AS (
+              SELECT block_key, count(*) AS sz FROM keys GROUP BY block_key)
+            SELECT regexp_extract(block_key, '^([a-z]+)', 1) AS family,
+                   count(*)::BIGINT AS n_blocks,
+                   sum(sz)::BIGINT AS n_vertex_rows,
+                   count(*) FILTER (sz = 1)::BIGINT AS n_singletons,
+                   max(sz)::BIGINT AS max_block_size,
+                   sum(sz * (sz - 1) // 2)::BIGINT AS candidate_pairs,
+                   count(*) FILTER (sz > 16)::BIGINT AS capped_blocks,
+                   sum(CASE WHEN sz <= 16 THEN sz * (sz - 1) // 2
+                            ELSE 0 END)::BIGINT AS capped_candidate_pairs
+            FROM sizes GROUP BY family
         """,
         # triangle mirror counts each triangle once via canonical a<b<c
         # edge chaining — no need to replay the Spark side's degree

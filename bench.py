@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "minhash_near_dups",
     "simhash_near_dups",
     "embedding_near_dups",
+    "semdedup",
+    "dsir_weights",
     "dup_clusters",
     "cosine_top5",
     "fingerprint_md5",

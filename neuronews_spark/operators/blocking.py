@@ -121,6 +121,51 @@ def block_stats(blocks: DataFrame) -> DataFrame:
     )
 
 
+def block_stats_summary(blocks: DataFrame, cap: int = 1000) -> DataFrame:
+    """Blocking-strategy audit: per key family (the prefix before the
+    leading letters of ``block_key`` — 'x' exact, 's' sort-key, 'f'
+    prefix, 'p' person-surname, 'm' minhash bands, 't' token), the block-size
+    distribution and the candidate-pair bill it implies.
+
+    This is the query you run BEFORE committing a blocking config at
+    100 TB: ``candidate_pairs`` is the exact number of scored pairs the
+    self-join will shuffle, ``capped_*`` shows what the ``max_block_size``
+    guard (see :func:`candidate_pairs`'s drop-and-log semantics) would
+    remove.  All columns are exact integers — no float hazard — and the
+    plan is two keyed aggregations (block_key, then family), both with
+    map-side combine.
+
+    Reference parity: the reference logs per-block sizes ad hoc during
+    KG updates (kg_updater.py); this generalizes that into the lineage/
+    metrics shape the north rule asks for."""
+    sizes = blocks.groupBy("block_key").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # leading letters: 'x|…'→x, 's|…'→s, 'f|…'→f, 'p|…'→p, 't|…'→t,
+    # minhash band keys 'm0_<h>_…|type'→m (band digit and hashes stripped)
+    fam = F.regexp_extract(F.col("block_key"), "^([a-z]+)", 1)
+    pair_bill = (F.col("sz") * (F.col("sz") - 1) / 2).cast("bigint")
+    return (
+        sizes.select(
+            fam.alias("family"),
+            "sz",
+            pair_bill.alias("pairs"),
+        )
+        .groupBy("family")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("sz").cast("bigint").alias("n_vertex_rows"),
+            F.count_if(F.col("sz") == 1).alias("n_singletons"),
+            F.max("sz").cast("bigint").alias("max_block_size"),
+            F.sum("pairs").cast("bigint").alias("candidate_pairs"),
+            F.count_if(F.col("sz") > cap).alias("capped_blocks"),
+            F.sum(F.when(F.col("sz") <= cap, F.col("pairs")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("capped_candidate_pairs"),
+        )
+    )
+
+
 def candidate_pairs(
     blocks: DataFrame,
     max_block_size: int = 1000,

@@ -1076,6 +1076,91 @@ def dedup_near_duplicates(
     )
 
 
+# -------------------------------------------------- semantic dedup (SemDeDup)
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 6,
+    threshold: float = 0.3,
+    max_cell: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and greedily pruning
+    near-duplicates *within* each cluster — the pruning rule is the
+    paper's: inside a cluster, a document is dropped iff some
+    lower-id document in the same cluster has cosine similarity ≥
+    ``threshold`` (id order stands in for the paper's arbitrary-scan
+    order so the decision is deterministic and engine-mirrorable).
+
+    Clusters here are deterministic axis-aligned sign cells — the bit
+    pattern of ``sign(vec[0..sign_bits-1])`` — i.e. SRP-LSH with
+    axis-aligned hyperplanes: a pure Column expression both engines can
+    compute, giving 2^sign_bits cells that group vectors by orthant.
+    At 100 TB the cell assignment is the pluggable piece: swap in
+    KMeans centroids (the paper's choice; ``event_clustering`` shows
+    the distributed fit) and the per-cell kernel below is unchanged —
+    the scale story is identical either way: ONE shuffle on the cell
+    id, quadratic work confined to cells, each cell one Arrow task.
+
+    Returns one row per input row (nothing is silently dropped — the
+    keep decision is emitted for audit, like ``clean_corpus``):
+    (id, cell, n_cell, max_sim_prior, keep) where ``max_sim_prior`` is
+    the max cosine (rounded 6) to any lower-id cell-mate (null for the
+    cell's first/singleton row) and ``keep = max_sim_prior is null or
+    < threshold``.  A cell larger than ``max_cell`` raises rather than
+    silently degrading (more sign bits / real centroids are the fix)."""
+    id_type = {f.name: f.dataType for f in df.schema.fields}[
+        id_col
+    ].simpleString()
+    cell = F.lit(0)
+    for i in range(sign_bits):
+        cell = cell + F.when(
+            F.element_at(F.col(vec_col), i + 1) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        cell.cast("int").alias("cell"),
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n > max_cell:
+            raise ValueError(
+                f"semdedup cell of {n} rows exceeds max_cell={max_cell}; "
+                "raise sign_bits or plug finer (KMeans) cells"
+            )
+        pdf = pdf.sort_values("vid", kind="mergesort").reset_index(drop=True)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        u = m / norms[:, None]
+        sims = np.round(u @ u.T, 6)
+        prior = np.full(n, np.nan)
+        for j in range(1, n):
+            prior[j] = sims[:j, j].max()
+        keep = np.isnan(prior) | (prior < threshold)
+        return pd.DataFrame(
+            {
+                id_col: pdf["vid"],
+                "cell": pdf["cell"],
+                "n_cell": np.full(n, n, dtype=np.int64),
+                "max_sim_prior": prior,
+                "keep": keep,
+            }
+        )
+
+    return base.groupBy("cell").applyInPandas(
+        _prune,
+        schema=(
+            f"{id_col} {id_type}, cell int, n_cell bigint, "
+            "max_sim_prior double, keep boolean"
+        ),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -1,0 +1,112 @@
+"""Data-selection importance weights (DSIR-style).
+
+DSIR (Xie et al. 2023, arXiv:2302.03169) scores every raw document by
+the log-likelihood ratio of two bag-of-words models — one fit on a
+small *target* corpus (the distribution you want more of), one on the
+raw pool — then resamples the pool by those weights.  This module is
+the distributed scoring half: the model "fit" is one vocabulary
+aggregation, the "inference" is one join + one sum, all expressed as
+DataFrame ops so Catalyst keeps everything JVM-side.
+
+Scale notes (the 100 TB shape):
+- the vocabulary aggregation has map-side combine, so hot tokens
+  (stopwords) never concentrate on one reducer;
+- per-token weights are a (token → weight) table joined back by hash
+  join on the token — at web scale this is the paper's hashed-n-gram
+  trick's exact counterpart (they hash to 10k buckets to make the
+  model tiny; we keep exact tokens because the vocab here fits, and
+  a ``pmod(xxhash64(token), B)`` bucket column is a one-line swap);
+- per-document scores are sums of per-token weights QUANTIZED TO
+  INTEGER MICRO-NATS before summing — integer addition is associative,
+  so the score is bit-stable across partitionings, retries, and
+  engines (the float-sum reassociation hazard documented in
+  BASELINE.md is designed out rather than rounded away).
+
+The reference has no data-selection stage (its ingest keeps everything
+and filters by validation score, data_validation_pipeline.py); this
+operator belongs to the training-data-pipeline suite the graft adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_scores"]
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (both engines split on the
+    same ``\\s+`` regex; empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def dsir_scores(
+    docs: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR importance score in integer micro-nats.
+
+    For unigram token ``w`` with add-1 smoothing, the weight is::
+
+        λ(w) = ln(t_c(w) + 1) − ln(a_c(w) + 1) + ln(A + V) − ln(T + V)
+
+    where ``t_c``/``a_c`` are target/pool occurrence counts, ``T``/``A``
+    the corpus token totals, and ``V`` the vocabulary size — i.e. the
+    log-ratio of the two smoothed unigram models.  Each λ is quantized
+    once per *distinct* token to ``round(1e6·λ)`` (bigint micro-nats);
+    a document's score is the exact integer sum of its token weights,
+    so documents that look like the target corpus score high.
+
+    Plan: one explode → vocab groupBy (map-side combine) → 1-row total
+    aggregate broadcast in (the ``graph.py`` dangling-mass pattern) →
+    token hash-join → per-doc groupBy.  Two keyed shuffles total, both
+    on high-cardinality keys.
+
+    Returns (id, n_tokens, score_micro_nats, mean_micro_nats) — one row
+    per document with ≥1 token.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_is_t"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("a_c"),
+        F.count_if(F.col("_is_t")).alias("t_c"),
+    )
+    totals = vocab.agg(
+        F.sum("a_c").alias("_A"),
+        F.sum("t_c").alias("_T"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    lam = (
+        F.log(F.col("t_c") + 1)
+        - F.log(F.col("a_c") + 1)
+        + F.log((F.col("_A") + F.col("_V")).cast("double"))
+        - F.log((F.col("_T") + F.col("_V")).cast("double"))
+    )
+    weights = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(lam * F.lit(1e6), 0).cast("bigint").alias("w_q"),
+    )
+    return (
+        toks.join(weights, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_q").alias("score_micro_nats"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_micro_nats",
+            F.round(
+                F.col("score_micro_nats") / F.col("n_tokens"), 2
+            ).alias("mean_micro_nats"),
+        )
+    )
