@@ -645,6 +645,60 @@ def q_er_block_stats(spark: SparkSession, sf: str) -> DataFrame:
     return block_stats_summary(blocks, cap=16)
 
 
+def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end pretraining-corpus preparation (corpus_pipeline.py):
+    C4/Gopher clean → exact dedup → MinHash near-dedup → benchmark
+    decontamination (eval = the first 50 docs by id, a stand-in
+    benchmark set) → deterministic subsample → shard shuffle, emitted
+    as per-doc audit flags + final (shard, pos) training order.
+    Rows-only: the near-dup flag rides MinHash-LSH buckets (no DuckDB
+    xxhash64); every component stage IS individually oracled
+    (clean_corpus, exact_dup_groups, minhash_near_dups/dup_clusters,
+    decontamination, stratified_sample, shard_shuffle) and the
+    composition is pinned by a planted-case pytest."""
+    _prep(spark)
+    from neuronews_spark.corpus_pipeline import prepare_training_corpus
+
+    # no cache_scope here: the returned plan is evaluated by the CALLER
+    # (driver/bench), which releases the operator caches per query —
+    # exiting a scope before the action would just unpin them early
+    docs = _t(spark, sf, "documents")
+    eval_docs = docs.orderBy("doc_id").limit(50)
+    audit, _ = prepare_training_corpus(
+        docs,
+        eval_docs=eval_docs,
+        min_tokens=15,
+        min_quality_score=0.7,
+        jaccard_threshold=0.8,
+        sample_fraction=0.9,
+        n_shards=8,
+        seed=17,
+    )
+    return audit
+
+
+def q_shard_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic training-order shuffle: stable md5-derived
+    (shard, position) per doc — one exchange on shard + per-shard
+    sort, no global sort, reshuffled by seed not by rand()."""
+    _prep(spark)
+    from neuronews_spark.operators.sharding import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _t(spark, sf, "documents"), "doc_id", n_shards=8, seed=17
+    )
+
+
+def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based domain-mixture weights (p_i ∝ n_i^0.7) per
+    source; w_rel is relative to the largest source — deliberately
+    unnormalized so no cross-engine float-sum enters the surface."""
+    _prep(spark)
+    from neuronews_spark.operators.importance import mixture_weights
+
+    return mixture_weights(_t(spark, sf, "documents"), "source", alpha=0.7)
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2539,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dsir_weights": q_dsir_weights,
         "er_block_stats": q_er_block_stats,
+        "shard_shuffle": q_shard_shuffle,
+        "mixture_weights": q_mixture_weights,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -2578,6 +2634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tens of rows (driver-side by construction, gated); the
         #   distributed half IS oracled via outlet_vectors
         "outlet_clusters": q_outlet_clusters,
+        # corpus_prep: composite clean→dedup→near-dedup→decontaminate→
+        #   sample→shard pipeline; near-dup flag rides MinHash-LSH
+        #   (no DuckDB xxhash64) — every component stage is individually
+        #   oracled, composition pinned by planted-case pytest
+        "corpus_prep": q_corpus_prep,
     }
 
 
@@ -5489,6 +5550,36 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN sz <= 16 THEN sz * (sz - 1) // 2
                             ELSE 0 END)::BIGINT AS capped_candidate_pairs
             FROM sizes GROUP BY family
+        """,
+        # deterministic shuffle: md5-derived shard + in-shard rank — the
+        # stratified_sample md5 convention; hash/id tiebreak pins order
+        "shard_shuffle": """
+            WITH k AS (
+              SELECT doc_id,
+                     md5('17:' || doc_id::varchar) AS shuffle_key
+              FROM documents),
+            s AS (
+              SELECT doc_id, shuffle_key,
+                     (('0x' || substring(shuffle_key, 1, 8))::bigint
+                       % 8)::int AS shard
+              FROM k)
+            SELECT doc_id, shuffle_key, shard,
+                   row_number() OVER (PARTITION BY shard
+                     ORDER BY shuffle_key, doc_id) AS pos
+            FROM s
+        """,
+        # mixture weights: every number is a function of exact integer
+        # counts (total via integer sum, scale base via max — both
+        # order-free); the one float op is pow then round(6)
+        "mixture_weights": """
+            WITH c AS (
+              SELECT source, count(*) AS n_docs FROM documents
+              GROUP BY source),
+            t AS (SELECT sum(n_docs) AS total, max(n_docs) AS mx FROM c)
+            SELECT source, n_docs,
+                   round(n_docs::DOUBLE / total, 6) AS share,
+                   round(pow(n_docs::DOUBLE / mx, 0.7::DOUBLE), 6) AS w_rel
+            FROM c, t
         """,
         # triangle mirror counts each triangle once via canonical a<b<c
         # edge chaining — no need to replay the Spark side's degree

@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "semdedup",
     "dsir_weights",
+    "corpus_prep",
     "dup_clusters",
     "cosine_top5",
     "fingerprint_md5",

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dsir_scores"]
+__all__ = ["dsir_scores", "mixture_weights"]
 
 
 def _tokens(text: Column) -> Column:
@@ -109,4 +109,39 @@ def dsir_scores(
                 F.col("score_micro_nats") / F.col("n_tokens"), 2
             ).alias("mean_micro_nats"),
         )
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-based mixture weights per domain/source (the
+    Gopher / XLM-R sampling rule: p_i ∝ n_i^alpha, alpha < 1 upweights
+    small domains) — the report you compute before building a sampling
+    config for a multi-source corpus.
+
+    Per group: raw count, raw share, and the temperature weight
+    RELATIVE TO THE LARGEST GROUP, ``w_rel = (n_i / n_max)^alpha``.
+    Deliberately NOT normalized to Σ n_i^alpha: that denominator is a
+    float sum whose addition order differs across engines/partitionings
+    (the reassociation hazard BASELINE.md documents), while max() and
+    integer totals are order-free — so every emitted number is a pure
+    function of exact integers.  Consumers normalize ``w_rel`` at use
+    time (one tiny driver-side pass over G rows).
+
+    Plan: one groupBy(group) count + a broadcast 1-row (total, max)
+    aggregate — two scans of G rows, no wide shuffle."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").alias("_total"), F.max("n_docs").alias("_max")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        F.round(
+            F.pow(F.col("n_docs") / F.col("_max"), F.lit(float(alpha))), 6
+        ).alias("w_rel"),
     )

@@ -171,3 +171,76 @@ def session_window_stats(
             *(["sum_value_cents"] if value_col is not None else []),
         )
     )
+
+
+def stateful_running_counts(
+    df: DataFrame,
+    key: str = "entity",
+    watermark: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a per-key running counter that survives across micro-batches —
+    the streaming-native form of the reference's per-entity mention
+    counters, which kg_updater.py re-reads and increments per batch
+    (src/knowledge_graph/kg_updater.py mention-count accumulation).
+
+    Every micro-batch emits ONE row per key seen in that batch:
+    (key, batch_rows, running_total, batches_seen), where
+    running_total/batches_seen fold in all previous batches from the
+    state store.  This is the escape hatch for stateful semantics the
+    built-ins can't express (session_window_stats deliberately uses
+    the built-in; this exists for genuinely custom state shapes) —
+    state is a 2-int struct per key, Arrow-batched per group, and the
+    state store shards by the grouping key exactly like a shuffle, so
+    the operator scales with executors, not with stream length.
+
+    ``watermark=(ts_col, delay)`` is accepted for symmetry with the
+    other streaming ops (it bounds other stateful operators composed
+    downstream); the counter itself keeps state for every key by
+    design — at 10^12-turn scale you cap the key domain upstream
+    (canonical entity ids, not raw surface forms).
+
+    The pytest drives it through three real micro-batches (file source,
+    maxFilesPerTrigger=1) and asserts the folded state per key.
+    """
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    src = df
+    if watermark is not None:
+        src = src.withWatermark(*watermark)
+
+    def _count(key_tuple, pdfs, state: GroupState):
+        n = 0
+        for pdf in pdfs:
+            n += len(pdf)
+        if state.exists:
+            total, batches = state.get
+        else:
+            total, batches = 0, 0
+        total += n
+        batches += 1
+        state.update((total, batches))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "batch_rows": [n],
+                "running_total": [total],
+                "batches_seen": [batches],
+            }
+        )
+
+    return src.groupBy(key).applyInPandasWithState(
+        _count,
+        outputStructType=(
+            f"{key} string, batch_rows bigint, "
+            "running_total bigint, batches_seen int"
+        ),
+        stateStructType="total bigint, batches int",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -110,3 +110,20 @@ def test_clean_corpus_is_single_pass_no_shuffle(spark, sf_dir):
     # count numbered plan nodes only — the formatted header repeats names
     scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert scans == 1, f"expected one documents scan, saw {scans}"
+
+
+def test_deterministic_shuffle_single_hash_exchange_no_global_sort(spark):
+    """Training-order shuffle must be one hash exchange on shard + a
+    per-shard sort — never a rangepartitioning (global sort) plan."""
+    import re
+
+    from neuronews_spark.operators.sharding import deterministic_shuffle
+
+    df = spark.createDataFrame(
+        [(f"d{i}",) for i in range(100)], "doc_id string"
+    )
+    plan = _plan(deterministic_shuffle(df, "doc_id", n_shards=8, seed=17))
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, shuffles
+    assert "hashpartitioning" in plan
+    assert "rangepartitioning" not in plan
