@@ -1394,6 +1394,47 @@ def q_ngram_decontamination(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_decontaminate(train, eval_, "doc_id", "text", n=13)
 
 
+def q_bloom_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Self-validating gate for the Bloom-sketch decontamination path
+    (the broadcast-sketch topology for train ≫ eval at 100 TB): joins
+    the bloom counts against the exact operator on the same split and
+    emits the two properties the sketch must satisfy — no false
+    negatives (bloom ≥ exact, a hard Bloom guarantee) and false
+    positives within the analytic bound (≤ max(1, 1% of the doc's
+    grams) at these parameters, expected ≈ 0).  The mirror recomputes
+    the EXACT side in SQL and pins both booleans true, so a sketch
+    violation hash-mismatches (the approx_distinct_gate envelope
+    pattern)."""
+    _prep(spark)
+    from neuronews_spark.operators.dedup import (
+        bloom_ngram_decontaminate,
+        ngram_decontaminate,
+    )
+
+    docs = _t(spark, sf, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    eval_ = docs.filter(F.col("doc_id") % 5 == 0)
+    exact = ngram_decontaminate(train, eval_, "doc_id", "text", n=13)
+    bloom = bloom_ngram_decontaminate(train, eval_, "doc_id", "text", n=13)
+    fp_bound = F.greatest(
+        F.lit(1).cast("bigint"), F.ceil(F.col("n_grams") * 0.01)
+    )
+    return exact.join(
+        bloom.select("eval_id", "n_dirty_grams_bloom"), "eval_id"
+    ).select(
+        "eval_id",
+        "n_grams",
+        "n_dirty_grams",
+        (F.col("n_dirty_grams_bloom") >= F.col("n_dirty_grams")).alias(
+            "no_false_negatives"
+        ),
+        (
+            (F.col("n_dirty_grams_bloom") - F.col("n_dirty_grams"))
+            <= fp_bound
+        ).alias("fp_within_bound"),
+    )
+
+
 def q_srp_recall(spark: SparkSession, sf: str) -> DataFrame:
     """Recall gate for the SRP-LSH embedding near-dup path: one row
     (n_exact, n_lsh, n_hit, recall) where n_exact is the brute-force
@@ -2595,6 +2636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_block_stats": q_er_block_stats,
         "shard_shuffle": q_shard_shuffle,
         "mixture_weights": q_mixture_weights,
+        "bloom_decontamination": q_bloom_decontamination,
         "fingerprint_md5": q_fingerprint_md5,
         "emerging_connections": q_emerging_connections,
         "evolving_topics": q_evolving_topics,
@@ -5550,6 +5592,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN sz <= 16 THEN sz * (sz - 1) // 2
                             ELSE 0 END)::BIGINT AS capped_candidate_pairs
             FROM sizes GROUP BY family
+        """,
+        # bloom gate: the mirror recomputes the EXACT side (same SQL as
+        # ngram_decontamination) and pins the two sketch invariants true —
+        # a false negative or out-of-bound FP count hash-mismatches
+        "bloom_decontamination": """
+            WITH tk AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            g AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 13 THEN
+                            list_distinct(list_transform(range(1, len(t) - 11),
+                              i -> array_to_string(t[i:i+12], ' ')))
+                          WHEN len(t) >= 1 THEN [array_to_string(t, ' ')]
+                          ELSE []::varchar[] END AS grams
+              FROM tk),
+            train AS MATERIALIZED (
+              SELECT DISTINCT unnest(grams) AS tg FROM g WHERE doc_id % 5 <> 0),
+            ev AS (
+              SELECT doc_id, grams, len(grams) AS n_grams
+              FROM g WHERE doc_id % 5 = 0),
+            dirty AS (
+              SELECT doc_id, count(*) AS n_dirty FROM (
+                SELECT doc_id, unnest(grams) AS gg FROM ev) u
+              WHERE gg IN (SELECT tg FROM train)
+              GROUP BY doc_id)
+            SELECT e.doc_id AS eval_id,
+                   e.n_grams::bigint AS n_grams,
+                   coalesce(d.n_dirty, 0)::bigint AS n_dirty_grams,
+                   true AS no_false_negatives,
+                   true AS fp_within_bound
+            FROM ev e LEFT JOIN dirty d USING (doc_id)
         """,
         # deterministic shuffle: md5-derived shard + in-shard rank — the
         # stratified_sample md5 convention; hash/id tiebreak pins order

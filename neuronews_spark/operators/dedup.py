@@ -620,6 +620,138 @@ def ngram_decontaminate(
     )
 
 
+def bloom_ngram_decontaminate(
+    train: DataFrame,
+    eval_: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    m_bits: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`ngram_decontaminate` — the
+    broadcast-sketch topology for the train ≫ eval regime at 100 TB:
+    instead of shuffling eval grams into a semi join against the
+    train-gram set, the train grams are folded into an ``m_bits``-bit
+    Bloom filter (k xxhash64-derived bit positions per gram) and the
+    SKETCH is broadcast; eval membership tests are then a zero-shuffle
+    map over eval grams.  The train side still pays its distinct-gram
+    aggregation, but nothing train-sized ever reaches the eval side —
+    the join is replaced by m/8 bytes on the wire.
+
+    Bloom guarantees no false negatives, so per eval doc
+    ``n_dirty_grams_bloom ≥ ngram_decontaminate().n_dirty_grams``
+    always; false positives are bounded by (1−e^(−k·n/m))^k (≈1e-6 at
+    the defaults for ~50k train grams).  The driver gate query pins
+    both properties against the exact operator.
+
+    Build plan: gram ids (same in-row ``array_distinct`` convention as
+    the exact path) → k bit positions per gram (JVM xxhash64, seeded
+    like minhash_band_keys) → (word, mask) → groupBy(word) bit_or —
+    map-side combine makes hot grams free — → collect ≤ m/64 sparse
+    words (m=2^22 → ≤ 512 KB) → ``sc.broadcast``.  Probe plan: eval
+    grams → k positions (JVM) → Arrow-batched numpy bit test →
+    groupBy(eval id).  Returns (eval_id, n_grams, n_dirty_grams_bloom),
+    one row per eval doc.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+
+    def _doc_grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"), toks.alias("_t")
+        ).select(
+            "_id",
+            F.when(
+                F.size("_t") >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_t") - n),
+                        lambda i: F.xxhash64(
+                            F.concat_ws(" ", F.slice("_t", i + 1, n))
+                        ),
+                    )
+                ),
+            )
+            .when(
+                F.size("_t") >= 1,
+                F.array(F.xxhash64(F.concat_ws(" ", "_t"))),
+            )
+            .otherwise(F.array().cast("array<bigint>"))
+            .alias("_g"),
+        )
+
+    def _positions(h: Column, i: int) -> Column:
+        return F.pmod(F.xxhash64(h, F.lit(i)), F.lit(m_bits))
+
+    # ---- build: distinct train grams → sparse bitmap words --------------
+    train_pos = (
+        _doc_grams(train)
+        .select(F.explode("_g").alias("_h"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_positions(F.col("_h"), i) for i in range(k)])
+            ).alias("_p")
+        )
+    )
+    words = (
+        train_pos.select(
+            (F.col("_p") / 64).cast("long").alias("_w"),
+            # DataFrame-API shiftleft takes only a literal shift; the SQL
+            # form accepts a column expression
+            F.expr("shiftleft(1L, cast(_p % 64 as int))").alias("_m"),
+        )
+        .groupBy("_w")
+        .agg(F.bit_or("_m").alias("_bits"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[int(r["_w"])] = np.uint64(r["_bits"] & 0xFFFFFFFFFFFFFFFF)
+    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    # ---- probe: eval grams → vectorized bit test → per-doc count --------
+    @F.pandas_udf("boolean")
+    def _member(*pos_cols: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        ok = np.ones(len(pos_cols[0]), dtype=bool)
+        for p in pos_cols:
+            pv = p.to_numpy(dtype=np.int64)
+            ok &= (
+                (bits[pv >> 6] >> (pv.astype(np.uint64) & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+        return pd.Series(ok)
+
+    eval_docs = _doc_grams(eval_).select(
+        "_id", "_g", F.size("_g").cast("bigint").alias("n_grams")
+    )
+    dirty = (
+        eval_docs.select("_id", F.explode("_g").alias("_h"))
+        .select(
+            "_id",
+            _member(
+                *[_positions(F.col("_h"), i) for i in range(k)]
+            ).alias("_in"),
+        )
+        .groupBy("_id")
+        .agg(F.count_if(F.col("_in")).alias("n_dirty_grams_bloom"))
+    )
+    return (
+        eval_docs.select("_id", "n_grams")
+        .join(dirty, "_id", "left")
+        .select(
+            F.col("_id").alias("eval_id"),
+            "n_grams",
+            F.coalesce("n_dirty_grams_bloom", F.lit(0))
+            .cast("bigint")
+            .alias("n_dirty_grams_bloom"),
+        )
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash_from_hashes_udf():
