@@ -2552,13 +2552,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # controversy_edges moved to 51+).
     return {
         # --- verified window: one representative per family, cheap first ---
-        "token_stats": q_token_stats,
+        # (late-r4: semdedup/dsir_weights — the two NEW families of the
+        # final batches — swapped in for token_stats/degrees_events,
+        # whose families stay represented by doc_quality and by
+        # pagerank_events/component_stats/centrality_stats respectively)
+        "semdedup": q_semdedup,
         "factcheck_verdicts": q_factcheck_verdicts,
         "doc_quality": q_doc_quality,
         "pii_redaction": q_pii_redaction,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
-        "degrees_events": q_degrees_events,
+        "dsir_weights": q_dsir_weights,
         "latest_event_per_user_type": q_latest_event_per_user_type,
         "exact_dup_groups": q_exact_dup_groups,
         "assemble_roundtrip": q_assemble_roundtrip,
@@ -2631,8 +2635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_stats": q_triangle_stats,
         "clean_corpus": q_clean_corpus,
         "dedup_spans": q_dedup_spans,
-        "semdedup": q_semdedup,
-        "dsir_weights": q_dsir_weights,
+        "token_stats": q_token_stats,
+        "degrees_events": q_degrees_events,
         "er_block_stats": q_er_block_stats,
         "shard_shuffle": q_shard_shuffle,
         "mixture_weights": q_mixture_weights,
