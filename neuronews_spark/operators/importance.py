@@ -29,7 +29,7 @@ operator belongs to the training-data-pipeline suite the graft adds.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["dsir_scores", "mixture_weights"]
@@ -131,17 +131,21 @@ def mixture_weights(
     function of exact integers.  Consumers normalize ``w_rel`` at use
     time (one tiny driver-side pass over G rows).
 
-    Plan: one groupBy(group) count + a broadcast 1-row (total, max)
-    aggregate — two scans of G rows, no wide shuffle."""
+    Plan: ONE scan → groupBy(group) count → (total, max) as an
+    unpartitioned window over the G-row grouped frame (G = #domains,
+    bounded by the domain vocabulary, so the single-partition window is
+    G rows regardless of corpus size).  A separate 1-row aggregate
+    joined back would re-execute the grouped scan for its second
+    consumer — the double-evaluation trap."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = counts.agg(
-        F.sum("n_docs").alias("_total"), F.max("n_docs").alias("_max")
-    )
-    return counts.crossJoin(F.broadcast(tot)).select(
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    mx = F.max("n_docs").over(w)
+    return counts.select(
         group_col,
         "n_docs",
-        F.round(F.col("n_docs") / F.col("_total"), 6).alias("share"),
+        F.round(F.col("n_docs") / total, 6).alias("share"),
         F.round(
-            F.pow(F.col("n_docs") / F.col("_max"), F.lit(float(alpha))), 6
+            F.pow(F.col("n_docs") / mx, F.lit(float(alpha))), 6
         ).alias("w_rel"),
     )
