@@ -699,6 +699,102 @@ def q_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
     return mixture_weights(_t(spark, sf, "documents"), "source", alpha=0.7)
 
 
+def q_bpe_top_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """First-iteration BPE merge candidates (Sennrich et al. 2016) over
+    the corpus word-frequency table: adjacent symbol-pair counts
+    (characters + '</w>' end-of-word marker) weighted by word
+    frequency, top-30 by the training tie-break (freq DESC, pair ASC —
+    total, since pairs are unique).  Integer-only surface; the k lands
+    as TakeOrderedAndProject, never a global sort."""
+    _prep(spark)
+    from neuronews_spark.operators.tokenizer import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf, "documents"), k=30).select(
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "pair_freq",
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 12 merges over the corpus:
+    per iteration one pair-count shuffle on the DISTINCT-WORD table +
+    a 1-row argmax + a JVM-side fold applying the merge, plan truncated
+    per round.  Returns the learned merge table (step, left, right,
+    pair_freq) in order — the merges.txt a tokenizer ships."""
+    _prep(spark)
+    from neuronews_spark.operators.tokenizer import bpe_train
+
+    return bpe_train(_t(spark, sf, "documents"), 12)
+
+
+def q_lm_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style (Wenzek et al. 2020) LM quality tiering: per-doc
+    cross-entropy under a smoothed unigram model fit on the lang='en'
+    target rows, quantized to integer micro-nats per distinct token and
+    summed exactly (the dsir_weights hazard design), bucketed
+    head/middle/tail by fixed cutoffs — CCNet applies its calibrated
+    tercile cutoffs as constants exactly like this.  The cutoffs
+    (3.400e6 / 3.407e6 µnats/token) straddle the corpus terciles so all
+    three buckets are populated at every SF; the bucket compare is ONE
+    IEEE division of exact integers, not a float sum."""
+    _prep(spark)
+    from neuronews_spark.operators.importance import lm_cross_entropy
+
+    return lm_cross_entropy(
+        _t(spark, sf, "documents"),
+        F.col("lang") == "en",
+        head_cutoff=3_400_000.0,
+        tail_cutoff=3_407_000.0,
+    )
+
+
+def q_importance_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling by deterministic hash acceptance (the DSIR
+    §2.3 resampling step): keep a doc iff its md5(seed:id) uniform draw
+    < weight/max(weight), weight = text length.  Membership is a pure
+    function of (seed, id) — stable across runs/partitionings/engines,
+    unlike df.sample's partition-attempt RNG.  The draw is emitted as
+    the raw 32-bit integer (draw_u32) so every surfaced number is
+    exact."""
+    _prep(spark)
+    from neuronews_spark.operators.importance import importance_sample
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("w")
+    )
+    out = importance_sample(d, "w", seed=17)
+    return out.select(
+        "doc_id",
+        "w",
+        (F.col("draw") * F.lit(float(2**32))).cast("bigint").alias("draw_u32"),
+    )
+
+
+def q_related_entities(spark: SparkSession, sf: str) -> DataFrame:
+    """Reference GET /related_entities (graph_routes.py:94-132, backed
+    by get_related_entities(entity, max_depth)) as ONE batch job over a
+    seed set instead of per-request Neptune traversals: 2-hop
+    neighborhoods of the 5 lowest-id user nodes in the user↔event-type
+    graph (the pagerank_events edge derivation), (seed, node_id, hops)
+    with hops = min distance, self rows dropped like the API."""
+    _prep(spark)
+    from neuronews_spark.operators.graph import related_entities
+
+    ev = _t(spark, sf, "events")
+    edges = ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    )
+    seeds = (
+        edges.select(F.col("src").alias("node_id"))
+        .distinct()
+        .orderBy("node_id")
+        .limit(5)
+    )
+    return related_entities(edges, seeds, max_depth=2)
+
+
 def q_centrality_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Reference metrics.py:495-574 simplified centralities (closeness /
     reachability-betweenness / degree-propagation eigenvector) over the
@@ -2571,7 +2667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "am_claims_dataset": q_am_claims_dataset,
         "dedup_docs": q_dedup_docs,
         "cosine_top5": q_cosine_top5,
-        "embedding_near_dups": q_embedding_near_dups,
+        # bpe_top_pairs: tokenizer-training family's window rep
+        # (embedding-cosine near-dup stays repped by semdedup/cosine_top5;
+        # embedding_near_dups itself moved below 50, still oracled)
+        "bpe_top_pairs": q_bpe_top_pairs,
         "doc_frames": q_doc_frames,
         "approx_distinct_gate": q_approx_distinct_gate,
         "event_sessions": q_event_sessions,
@@ -2607,6 +2706,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank_events,
         "centrality_stats": q_centrality_stats,
         # --- position 51+: oracled, family already represented above ---
+        "embedding_near_dups": q_embedding_near_dups,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "importance_sample": q_importance_sample,
+        "related_entities": q_related_entities,
         "lang_id": q_lang_id,
         "sentiment_docs": q_sentiment_docs,
         "dim_user_activity": q_dim_user_activity,
@@ -2685,6 +2788,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (no DuckDB xxhash64) — every component stage is individually
         #   oracled, composition pinned by planted-case pytest
         "corpus_prep": q_corpus_prep,
+        # bpe_merges: iterative argmax loop (merge N's input depends on
+        #   merge N-1's winner) has no SQL mirror; iteration 1 IS oracled
+        #   via bpe_top_pairs, and the full loop is pinned by differential
+        #   pytests vs a pure-Python Sennrich reference (test_tokenizer.py)
+        "bpe_merges": q_bpe_merges,
     }
 
 
@@ -5660,6 +5768,95 @@ def oracle_sql() -> dict[str, str]:
                    round(n_docs::DOUBLE / total, 6) AS share,
                    round(pow(n_docs::DOUBLE / mx, 0.7::DOUBLE), 6) AS w_rel
             FROM c, t
+        """,
+        # BPE first-iteration pair counts: symbols = chars + '</w>'
+        # marker (so range(1, len) is never empty); total tie-break
+        # (freq DESC, pair ASC) pins the LIMIT
+        "bpe_top_pairs": """
+            WITH w AS (
+              SELECT tok AS word, count(*) AS freq
+              FROM (SELECT unnest(string_split_regex(lower(text), '\\s+'))
+                      AS tok FROM documents) s
+              WHERE tok <> '' GROUP BY tok),
+            sym AS (
+              SELECT freq,
+                     list_append(list_transform(range(1, length(word) + 1),
+                       i -> substr(word, i, 1)), '</w>') AS s
+              FROM w),
+            p AS (
+              SELECT freq, unnest(list_transform(range(1, len(s)),
+                       i -> struct_pack(l := s[i], r := s[i+1]))) AS pr
+              FROM sym)
+            SELECT (pr).l AS lhs, (pr).r AS rhs,
+                   sum(freq)::bigint AS pair_freq
+            FROM p GROUP BY 1, 2
+            ORDER BY pair_freq DESC, lhs, rhs LIMIT 30
+        """,
+        # CCNet tiering: the dsir_weights mirror's cost variant; the
+        # bucket compare is one int/int IEEE division vs constants
+        "lm_quality_buckets": """
+            WITH tk AS MATERIALIZED (
+              SELECT doc_id, (lang = 'en') AS is_t, tok
+              FROM (SELECT doc_id, lang,
+                           unnest(string_split_regex(lower(text), '\\s+'))
+                             AS tok
+                    FROM documents) s
+              WHERE tok <> ''),
+            vocab AS (
+              SELECT tok, count(*) FILTER (is_t) AS t_c
+              FROM tk GROUP BY tok),
+            tot AS (
+              SELECT sum(t_c) AS t_tot, count(*) AS v FROM vocab),
+            w AS (
+              SELECT tok,
+                     CAST(round(1e6 * (ln((t_tot + v)::DOUBLE)
+                          - ln(t_c + 1)), 0) AS BIGINT) AS c_q
+              FROM vocab, tot),
+            d AS (
+              SELECT tk.doc_id, count(*)::bigint AS n_tokens,
+                     sum(w.c_q)::bigint AS cost_micro_nats
+              FROM tk JOIN w USING (tok) GROUP BY tk.doc_id)
+            SELECT doc_id, n_tokens, cost_micro_nats,
+                   CASE WHEN cost_micro_nats / n_tokens < 3400000.0
+                          THEN 'head'
+                        WHEN cost_micro_nats / n_tokens > 3407000.0
+                          THEN 'tail'
+                        ELSE 'middle' END AS ppl_bucket
+            FROM d
+        """,
+        # hash-acceptance sampling: same md5 convention as shard_shuffle;
+        # draw surfaced as the exact 32-bit integer
+        "importance_sample": """
+            WITH d AS (
+              SELECT doc_id, length(text)::bigint AS w FROM documents),
+            t AS (SELECT max(w)::double AS mx FROM d),
+            k AS (
+              SELECT doc_id, w,
+                     ('0x' || substring(md5('17:' || doc_id::varchar),
+                        1, 8))::bigint AS draw_u32
+              FROM d)
+            SELECT doc_id, w, draw_u32
+            FROM k, t
+            WHERE draw_u32 / 4294967296.0 < w / mx
+        """,
+        # k-hop traversal: the centrality_stats recursive-CTE walk,
+        # depth-bounded at the QUERY's semantics (max_depth = 2)
+        "related_entities": """
+            WITH RECURSIVE e0 AS MATERIALIZED (
+              SELECT DISTINCT 'u:' || user_id::varchar AS src,
+                              't:' || event_type AS dst
+              FROM events),
+            e AS MATERIALIZED (
+              SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+            seeds AS (
+              SELECT DISTINCT src AS s FROM e0 ORDER BY s LIMIT 5),
+            walk(s, n, d) AS (
+              SELECT s, s, 0 FROM seeds
+              UNION
+              SELECT w.s, e.dst, w.d + 1
+              FROM walk w JOIN e ON e.src = w.n WHERE w.d < 2)
+            SELECT s AS seed, n AS node_id, min(d)::int AS hops
+            FROM walk GROUP BY s, n HAVING min(d) > 0
         """,
         # triangle mirror counts each triangle once via canonical a<b<c
         # edge chaining — no need to replay the Spark side's degree

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     "embedding_near_dups",
     "semdedup",
     "dsir_weights",
+    "lm_quality_buckets",
+    "bpe_top_pairs",
     "corpus_prep",
     "dup_clusters",
     "cosine_top5",

@@ -410,3 +410,36 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+def related_entities(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 2,
+) -> DataFrame:
+    """K-hop related-entity traversal — the distributed analog of the
+    reference's ``GET /related_entities`` API (graph_routes.py:94-132 /
+    knowledge_graph_routes.py:42-114, backed by
+    ``get_related_entities(entity, max_depth)``): for every seed
+    entity, every node within ``max_depth`` undirected hops, with its
+    hop distance.
+
+    The service answers one entity per request against Neptune; here
+    ``seeds`` is a DataFrame (keyed on its first column) so ONE job
+    answers the whole batch — the shape you want when enriching every
+    entity of a corpus rather than paging an API.  Depth is the bounded
+    semantics of the endpoint, so :func:`bfs_distances`' ``max_iter``
+    carries the contract (self rows are dropped: the API never returns
+    the queried entity).
+
+    Returns ``(seed, node_id, hops)`` — ``hops`` = minimum distance,
+    1 ≤ hops ≤ max_depth.  Scale: state is O(|seeds| · reachable-within-
+    depth), each round one frontier equi-join + anti-join (see
+    bfs_distances); hub skew lands on AQE.
+    """
+    dist = bfs_distances(edges, sources=seeds, max_iter=max_depth)
+    return dist.filter(F.col("d") > 0).select(
+        F.col("s").alias("seed"),
+        F.col("n").alias("node_id"),
+        F.col("d").alias("hops"),
+    )

@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["dsir_scores", "mixture_weights"]
+__all__ = [
+    "dsir_scores",
+    "importance_sample",
+    "lm_cross_entropy",
+    "mixture_weights",
+]
 
 
 def _tokens(text: Column) -> Column:
@@ -148,4 +153,131 @@ def mixture_weights(
         F.round(
             F.pow(F.col("n_docs") / mx, F.lit(float(alpha))), 6
         ).alias("w_rel"),
+    )
+
+
+def lm_cross_entropy(
+    docs: DataFrame,
+    is_target: Column,
+    head_cutoff: float | None = None,
+    tail_cutoff: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document by its cross-entropy under
+    a smoothed unigram model fit on the *target* rows, then bucket the
+    corpus into head/middle/tail by fixed cutoffs — the standard
+    web-corpus quality tiering that keeps "head" for training and
+    audits "tail".
+
+    For token ``w``: ``cost(w) = −ln p_t(w)`` with add-1 smoothing
+    ``p_t(w) = (t_c(w)+1) / (T+V)`` over the pool vocabulary (so OOV-
+    in-target tokens get the uniform floor rather than −∞).  Like
+    ``dsir_scores``, each distinct token's cost is quantized ONCE to
+    integer micro-nats and a document's total is the exact integer sum
+    — bit-stable across partitionings, retries, and engines.  The
+    bucket compares ``cost/n_tokens`` (one IEEE division of exact
+    integers — deterministic, unlike a float SUM) against the cutoffs.
+
+    CCNet derives its cutoffs per language from score terciles of a
+    calibration sample and then applies them as constants; pass them as
+    ``head_cutoff``/``tail_cutoff`` (micro-nats per token).  With the
+    defaults (None) no bucket column is emitted.
+
+    Plan: identical topology to ``dsir_scores`` — explode → vocab
+    groupBy (map-side combine) → broadcast 1-row totals → token
+    hash-join → per-doc groupBy.  Two keyed shuffles, both
+    high-cardinality.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        is_target.alias("_is_t"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count_if(F.col("_is_t")).alias("t_c"),
+    )
+    totals = vocab.agg(
+        F.sum("t_c").alias("_T"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    cost = F.log((F.col("_T") + F.col("_V")).cast("double")) - F.log(
+        F.col("t_c") + 1
+    )
+    weights = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(cost * F.lit(1e6), 0).cast("bigint").alias("c_q"),
+    )
+    scored = (
+        toks.join(weights, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c_q").alias("cost_micro_nats"),
+        )
+    )
+    if head_cutoff is None and tail_cutoff is None:
+        return scored
+    mean = F.col("cost_micro_nats") / F.col("n_tokens")
+    bucket = (
+        F.when(mean < F.lit(float(head_cutoff)), "head")
+        .when(mean > F.lit(float(tail_cutoff)), "tail")
+        .otherwise("middle")
+    )
+    return scored.select(
+        id_col, "n_tokens", "cost_micro_nats", bucket.alias("ppl_bucket")
+    )
+
+
+def importance_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted sampling by deterministic hash acceptance: keep a row
+    iff its md5-derived uniform draw falls below ``w / max(w)`` — i.e.
+    acceptance probability proportional to the row's weight, the
+    resampling step data-selection schemes (DSIR §2.3) run after
+    scoring.  Like ``stratified_sample``, membership is a pure function
+    of (seed, id): stable across runs, partitionings, retries, and
+    engines — and therefore oracle-mirrorable, unlike ``df.sample``'s
+    per-partition-attempt RNG.
+
+    Normalizing by ``max(w)`` instead of ``mean(w)`` keeps every number
+    on the decision surface a single IEEE division of values that are
+    themselves order-free (max is reorder-safe; a mean's float SUM is
+    not — the BASELINE.md reassociation hazard).  Expected sample size
+    is ``Σ w_i / max(w)``; callers wanting a target rate rescale the
+    weight column first.
+
+    Plan: 1-row max aggregate broadcast in (the graph.py dangling-mass
+    pattern) + a filter — no shuffle of ``df`` itself, so the operator
+    composes with any upstream partitioning unchanged.
+    """
+    mx = df.agg(F.max(F.col(weight_col).cast("double")).alias("_w_max"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(2**32))
+    )
+    return (
+        df.crossJoin(F.broadcast(mx))
+        .withColumn("draw", u)
+        .filter(
+            F.col("draw") < F.col(weight_col).cast("double") / F.col("_w_max")
+        )
+        .drop("_w_max")
     )

@@ -1,0 +1,179 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The reference tokenizes with pretrained HuggingFace vocabularies
+(``src/nlp/ner_processor.py`` loads a checkpoint's tokenizer); training
+one from scratch over the corpus is the piece a large-scale
+training-data pipeline adds.  Byte-pair encoding's training loop is
+"count adjacent symbol pairs over the word-frequency table, merge the
+most frequent pair, repeat" — embarrassingly parallel per iteration,
+with only a 1-row argmax crossing iterations.
+
+Spark shape (the 100 TB story):
+- The loop runs over the DISTINCT-WORD table, not the corpus: one
+  corpus scan builds ``(word, freq)`` (map-side combined groupBy), and
+  every BPE iteration after that touches only distinct words — at web
+  scale that is ~10^8 rows regardless of corpus size, the same
+  compression trick Sennrich's reference implementation uses with its
+  ``collections.Counter`` vocab.
+- Each iteration is ONE shuffle (pair-count groupBy) + a broadcast
+  1-row argmax joined back in (no driver-side loop state, the
+  ``graph.py`` dangling-mass pattern) + a narrow per-row fold that
+  applies the merge left-to-right.  ``localCheckpoint`` truncates the
+  plan per round so iteration N's plan does not re-derive rounds 1..N-1
+  (the pagerank/BFS pattern).
+- The argmax tie-break is total (count DESC, left ASC, right ASC), so
+  the learned merge table is deterministic across partitionings,
+  retries, and engines — required for a reproducible tokenizer.
+
+Symbol inventory: per-word characters plus a terminal ``</w>``
+end-of-word marker (Sennrich §3.2), so merges never cross word
+boundaries and word-final units stay distinct from word-internal ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["word_counts", "bpe_pair_counts", "bpe_train"]
+
+_EOW = "</w>"
+
+
+def _words(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (the corpus-wide token
+    convention shared with importance.py / text_stats.py)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word, freq)`` over the corpus — the table every BPE iteration
+    runs on.  One explode + one map-side-combined groupBy."""
+    return (
+        docs.select(F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _symbols(word: Column) -> Column:
+    """Initial symbol sequence of a word: its characters + ``</w>``.
+    Always ≥ 2 elements, so the adjacent-pair zip below never sees the
+    empty/descending ``sequence(1, 0)`` edge case."""
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    return F.concat(chars, F.array(F.lit(_EOW)))
+
+
+def _adjacent_pairs(sym: Column) -> Column:
+    """array<struct<left,right>> of adjacent symbol pairs (every
+    occurrence position counts, as in the reference algorithm)."""
+    return F.arrays_zip(
+        F.slice(sym, 1, F.size(sym) - 1).alias("left"),
+        F.slice(sym, 2, F.size(sym) - 1).alias("right"),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, text_col: str = "text", k: int | None = None
+) -> DataFrame:
+    """First-iteration BPE merge candidates: adjacent character-pair
+    frequencies over the word table, weighted by word frequency —
+    ``(left, right, pair_freq)``, optionally top-``k`` by the training
+    tie-break (freq DESC, left ASC, right ASC).
+
+    Exact-integer output (counts only), so the mirror is plain SQL.
+    Plan: corpus scan → word groupBy → pair explode (bounded: word
+    length per distinct word) → pair groupBy; ``k`` lands as
+    TakeOrderedAndProject, never a global sort.
+    """
+    wc = word_counts(docs, text_col)
+    pairs = wc.select(
+        "freq", F.explode(_adjacent_pairs(_symbols(F.col("word")))).alias("p")
+    )
+    counts = (
+        pairs.select(F.col("p.left").alias("left"), F.col("p.right").alias("right"), "freq")
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+    if k is not None:
+        counts = counts.orderBy(
+            F.desc("pair_freq"), F.asc("left"), F.asc("right")
+        ).limit(k)
+    return counts
+
+
+def _apply_merge(sym: Column, left: Column, right: Column) -> Column:
+    """Left-to-right non-overlapping replacement of (left, right) with
+    their concatenation — the fold is equivalent to Sennrich's scan
+    ``if s[i]==a and s[i+1]==b: emit ab, skip 2`` because a just-merged
+    tail element equals ``a || b`` which (b being non-empty) can never
+    equal ``a`` again within the same pass."""
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(left, right)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table ``(step, left, right, pair_freq)`` in learned order — the
+    artifact a tokenizer ships (merges.txt).
+
+    Per iteration: pair-count groupBy (one keyed shuffle), 1-row argmax
+    with the total tie-break taken via ``limit(1)``
+    (TakeOrderedAndProject — no global sort), broadcast back in with a
+    1-row crossJoin, and a JVM-side fold applying the merge to every
+    word's symbol array.  The word table is ``localCheckpoint``ed per
+    round so the plan stays O(1) deep.  Stops early if no pair occurs
+    twice (nothing left worth merging).
+
+    Registered rows-only: the iterative argmax loop has no SQL mirror;
+    correctness is pinned by a differential pytest against a pure-Python
+    reference implementation of the same algorithm
+    (tests/test_tokenizer.py).
+    """
+    words = (
+        word_counts(docs, text_col)
+        .select(_symbols(F.col("word")).alias("sym"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pairs = (
+            words.select("freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p"))
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best_rows = pairs.orderBy(
+            F.desc("pair_freq"), F.asc("left"), F.asc("right")
+        ).limit(1).collect()
+        # the argmax is a 1-row bounded collect (the centroid-sample
+        # class of driver action): its VALUE must enter the merge table
+        # we return, so the driver holds it either way
+        if not best_rows or best_rows[0]["pair_freq"] < 2:
+            break
+        best = best_rows[0]
+        merges.append((step, best["left"], best["right"], best["pair_freq"]))
+        words = words.select(
+            _apply_merge(
+                F.col("sym"), F.lit(best["left"]), F.lit(best["right"])
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_freq bigint"
+    )

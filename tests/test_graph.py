@@ -150,3 +150,30 @@ def test_triangle_stats_matches_brute_force(spark):
             continue
         assert got[n]["degree"] == deg[n], n
         assert got[n]["triangles"] == tri_per_node[n], n
+
+
+def test_related_entities_hand_graph(spark):
+    from neuronews_spark.operators.graph import related_entities
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("e", "f")], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([("a",), ("e",)], ["node_id"])
+    got = {
+        (r["seed"], r["node_id"]): r["hops"]
+        for r in related_entities(edges, seeds, max_depth=2).collect()
+    }
+    # depth-bounded: d is 3 hops from a and must NOT appear; no self rows
+    assert got == {
+        ("a", "b"): 1,
+        ("a", "c"): 2,
+        ("e", "f"): 1,
+    }
+
+
+def test_related_entities_isolated_seed_yields_nothing(spark):
+    from neuronews_spark.operators.graph import related_entities
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    seeds = spark.createDataFrame([("z",)], ["node_id"])
+    assert related_entities(edges, seeds, max_depth=3).count() == 0
