@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "assemble_roundtrip",
     "mention_extraction",
     "er_scale_scored_pairs",
+    "er_attach_increment",
     "pattern_entities",
     "doc_embeddings",
     "text_srp_near_dups",

@@ -1,0 +1,162 @@
+"""attach_increment vs a sequential mirror of the reference's
+EntityResolver._find_match (resolution.py:162-196) run mention-by-
+mention against a FIXED store snapshot."""
+
+from __future__ import annotations
+
+import difflib
+import hashlib
+
+from neuronews_spark.operators.incremental_er import attach_increment
+from neuronews_spark.functions.simtext import (
+    person_compatible,
+    token_containment,
+)
+
+STORE = [
+    # (entity_id, entity_type, norm) — ids chosen so tie-breaks bite
+    ("e01", "Person", "john smith"),
+    ("e02", "Person", "mary jones"),
+    ("e03", "Organization", "acme rockets"),
+    ("e04", "Organization", "acme rockets international"),
+    ("e05", "Concept", "quantum computing"),
+    ("e06", "Concept", "quantum computers"),
+    ("e07", "Organization", "acme rockets global"),
+]
+
+
+def _sequential_resolve(mention, threshold=0.88):
+    """The reference algorithm, scan order = entity_id order (the
+    operator's documented determinization of dict insertion order)."""
+    _, etype, norm = mention
+    exact = [e for e in STORE if e[1] == etype and e[2] == norm]
+    if exact:
+        return min(e[0] for e in exact), "exact"
+    if etype == "Person":
+        # persons block on the surname (see attach_increment.key)
+        cands = [
+            e
+            for e in STORE
+            if e[1] == etype
+            and e[2].split(" ")[-1] == norm.split(" ")[-1]
+        ]
+        for e in sorted(cands):
+            if person_compatible(norm, e[2]):
+                return e[0], "person"
+        return None, "new"
+    cands = [
+        e
+        for e in STORE
+        if e[1] == etype
+        and e[2].replace(" ", "")[:4] == norm.replace(" ", "")[:4]
+    ]
+    for e in sorted(cands):
+        if token_containment(norm, e[2]):
+            return e[0], "containment"
+    best, best_score = None, 0.0
+    for e in sorted(cands):
+        s = round(difflib.SequenceMatcher(None, norm, e[2]).ratio(), 6)
+        if s > best_score:
+            best, best_score = e[0], s
+    if best is not None and best_score >= threshold:
+        return best, "fuzzy"
+    return None, "new"
+
+
+MENTIONS = [
+    ("m01", "Person", "john smith"),          # exact
+    ("m02", "Person", "j smith"),             # person rule (initial)
+    ("m03", "Person", "john smyth"),          # surname differs -> new
+    ("m04", "Person", "mary paul jones"),     # extra given -> person rule
+    ("m05", "Organization", "acme rockets inc ltd corporation x"),  # containment? no
+    ("m06", "Organization", "acme rockets international"),  # exact
+    ("m07", "Organization", "acme rockets int"),  # fuzzy
+    ("m08", "Concept", "quantum computin"),   # fuzzy, tie-break e05 vs e06
+    ("m09", "Concept", "quartz"),             # shares 4-prefix 'quar'? no ('quan') -> new
+    ("m10", "Organization", "acme rockets global services"),  # containment
+    ("m11", "Concept", "zzz unseen"),         # new
+    ("m12", "Concept", "zzz unseen"),         # same surface -> same new id
+]
+
+
+def test_attach_increment_matches_sequential_reference(spark):
+    store = spark.createDataFrame(STORE, ["entity_id", "entity_type", "norm"])
+    mentions = spark.createDataFrame(
+        [(m, t, n) for m, t, n in MENTIONS],
+        ["mention_id", "entity_type", "norm"],
+    )
+    out = {
+        r["mention_id"]: (r["entity_id"], r["match_kind"], r["score"])
+        for r in attach_increment(store, mentions).collect()
+    }
+    assert len(out) == len(MENTIONS)
+    for m in MENTIONS:
+        want_id, want_kind = _sequential_resolve(m)
+        got_id, got_kind, _ = out[m[0]]
+        assert got_kind == want_kind, (m, got_kind, want_kind)
+        if want_id is None:
+            exp = hashlib.md5(f"new:{m[1]}:{m[2]}".encode()).hexdigest()
+            assert got_id == exp, m
+        else:
+            assert got_id == want_id, (m, got_id, want_id)
+
+
+def test_containment_preempts_better_fuzzy_and_ties_break_on_min_id(spark):
+    store = spark.createDataFrame(
+        [
+            ("e10", "Concept", "alpha beta gamma"),   # containment candidate
+            ("e09", "Concept", "alpha beta gamma x"), # containment candidate, lower id
+            ("e08", "Concept", "alpha betaq"),        # ratio ≈ 0.95, NOT containment
+        ],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Concept", "alpha beta")], ["mention_id", "entity_type", "norm"]
+    )
+    rows = attach_increment(store, mentions).collect()
+    assert rows[0]["match_kind"] == "containment"
+    # both e09 and e10 contain {alpha, beta}; min id wins
+    assert rows[0]["entity_id"] == "e09"
+
+
+def test_person_never_falls_through_to_fuzzy(spark):
+    # ratio('anna karlsson','anna karlssen') is far above 0.88, but the
+    # surnames differ so the person rule rejects and fuzzy must NOT run
+    store = spark.createDataFrame(
+        [("e1", "Person", "anna karlssen")], ["entity_id", "entity_type", "norm"]
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Person", "anna karlsson")],
+        ["mention_id", "entity_type", "norm"],
+    )
+    rows = attach_increment(store, mentions).collect()
+    assert rows[0]["match_kind"] == "new"
+
+
+def test_same_unseen_surface_coalesces_to_one_new_id(spark):
+    store = spark.createDataFrame(
+        [("e1", "Concept", "something else")],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Concept", "brand new thing"), ("m2", "Concept", "brand new thing")],
+        ["mention_id", "entity_type", "norm"],
+    )
+    rows = attach_increment(store, mentions).collect()
+    ids = {r["entity_id"] for r in rows}
+    assert len(ids) == 1 and all(r["match_kind"] == "new" for r in rows)
+
+
+def test_jaro_winkler_scorer_path(spark):
+    store = spark.createDataFrame(
+        [("e1", "Organization", "acme rockets")],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Organization", "acme rocket")],
+        ["mention_id", "entity_type", "norm"],
+    )
+    rows = attach_increment(
+        store, mentions, threshold=0.9, scorer="jaro_winkler"
+    ).collect()
+    assert rows[0]["match_kind"] == "fuzzy" and rows[0]["score"] >= 0.9
