@@ -2631,6 +2631,57 @@ def q_approx_distinct_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_approx_quantile_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """GK/KLL quantile sketch vs exact rank per event_type — the
+    companion of approx_distinct_gate for order statistics.  At 100 TB
+    exact quantiles need a full sort; percentile_approx's mergeable
+    sketch is the tool, and this gate asserts its RANK error stays
+    inside the guarantee envelope on every corpus: for each probe p the
+    returned value's true rank count(value <= v) must sit within
+    3·(n/accuracy) + 1 of p·n (the sketch guarantees 1·n/accuracy;
+    3× is the same slack approx_distinct_gate uses).  Only exact
+    integers and the gate boolean are on the hash surface — the
+    sketch's value never is, so partition-order sensitivity of sketch
+    merges cannot flake the hash while a real accuracy regression
+    still would."""
+    _prep(spark)
+    acc = 1000
+    probs = [0.5, 0.9, 0.99]
+    ev = _t(spark, sf, "events").select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    appx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, acc).alias("qs"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    probes = appx.select(
+        "event_type",
+        "n_rows",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(p) for p in probs]).alias("p"),
+                F.col("qs").alias("v"),
+            )
+        ).alias("z"),
+    ).select(
+        "event_type", "n_rows", F.col("z.p").alias("p"), F.col("z.v").alias("v")
+    )
+    ranks = (
+        ev.join(F.broadcast(probes), "event_type")
+        .groupBy("event_type", "n_rows", "p")
+        .agg(F.count_if(F.col("value") <= F.col("v")).alias("rank_le"))
+    )
+    tol = 3.0 * F.col("n_rows") / F.lit(acc) + 1.0
+    return ranks.select(
+        "event_type",
+        "n_rows",
+        "p",
+        (
+            F.abs(F.col("rank_le") - F.col("p") * F.col("n_rows")) <= tol
+        ).alias("within_tol"),
+    )
+
+
 def q_session_windows(spark: SparkSession, sf: str) -> DataFrame:
     # the built-in session_window run in batch mode (same function runs
     # unchanged on a stream with a watermark — test_tables_streaming.py);
@@ -2784,6 +2835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_events": q_pagerank_events,
         "centrality_stats": q_centrality_stats,
         # --- position 51+: oracled, family already represented above ---
+        "approx_quantile_gate": q_approx_quantile_gate,
         "keywords_top10": q_keywords_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -5102,6 +5154,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    TRUE AS within_tol
             FROM events GROUP BY event_type
+        """,
+        # quantile gate: mirror recomputes the exact integers and pins
+        # the rank-envelope boolean (the approx_distinct_gate pattern)
+        "approx_quantile_gate": """
+            SELECT event_type, count(*) AS n_rows, p.p AS p,
+                   TRUE AS within_tol
+            FROM events,
+                 (SELECT unnest([0.5, 0.9, 0.99]) AS p) p
+            GROUP BY event_type, p.p
         """,
         "session_windows": """
             WITH flagged AS (
