@@ -2631,6 +2631,21 @@ def q_approx_distinct_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_vocab_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-shift monitor: top-50 tokens driving KL(P‖Q)
+    between the lang='en' slice's unigram distribution and the rest of
+    the corpus — the report you read between corpus snapshots before
+    retraining.  Per-token contributions quantized once to bigint
+    pico-units (round(1e12·p·ln(p/q))), so the emitted order and any
+    consumer aggregate are exact-integer deterministic."""
+    _prep(spark)
+    from neuronews_spark.operators.importance import vocab_kl_drift
+
+    return vocab_kl_drift(
+        _t(spark, sf, "documents"), F.col("lang") == "en", top_k=50
+    )
+
+
 def q_approx_quantile_gate(spark: SparkSession, sf: str) -> DataFrame:
     """GK/KLL quantile sketch vs exact rank per event_type — the
     companion of approx_distinct_gate for order statistics.  At 100 TB
@@ -2836,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centrality_stats": q_centrality_stats,
         # --- position 51+: oracled, family already represented above ---
         "approx_quantile_gate": q_approx_quantile_gate,
+        "vocab_kl_drift": q_vocab_kl_drift,
         "keywords_top10": q_keywords_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -5154,6 +5170,36 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    TRUE AS within_tol
             FROM events GROUP BY event_type
+        """,
+        # KL drift: dsir-style quantize-then-order — the ORDER BY runs
+        # on the quantized bigint, so both engines rank identically
+        "vocab_kl_drift": """
+            WITH tk AS MATERIALIZED (
+              SELECT (lang = 'en') AS is_b, tok
+              FROM (SELECT lang,
+                           unnest(string_split_regex(lower(text), '\\s+'))
+                             AS tok
+                    FROM documents) s
+              WHERE tok <> ''),
+            vocab AS (
+              SELECT tok,
+                     count(*) FILTER (is_b) AS a_c,
+                     count(*) FILTER (NOT is_b) AS b_c
+              FROM tk GROUP BY tok),
+            tot AS (
+              SELECT sum(a_c) AS a_tot, sum(b_c) AS b_tot,
+                     count(*) AS v FROM vocab),
+            c AS (
+              SELECT tok, a_c, b_c,
+                     CAST(round(1e12
+                       * ((a_c + 1) / (a_tot + v)::DOUBLE)
+                       * (ln((a_c + 1) / (a_tot + v)::DOUBLE)
+                          - ln((b_c + 1) / (b_tot + v)::DOUBLE)), 0)
+                       AS BIGINT) AS kl_contrib_pico
+              FROM vocab, tot)
+            SELECT tok, a_c, b_c, kl_contrib_pico
+            FROM c
+            ORDER BY abs(kl_contrib_pico) DESC, tok ASC LIMIT 50
         """,
         # quantile gate: mirror recomputes the exact integers and pins
         # the rank-envelope boolean (the approx_distinct_gate pattern)

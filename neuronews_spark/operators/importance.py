@@ -37,6 +37,7 @@ __all__ = [
     "importance_sample",
     "lm_cross_entropy",
     "mixture_weights",
+    "vocab_kl_drift",
 ]
 
 
@@ -280,4 +281,59 @@ def importance_sample(
             F.col("draw") < F.col(weight_col).cast("double") / F.col("_w_max")
         )
         .drop("_w_max")
+    )
+
+
+def vocab_kl_drift(
+    docs: DataFrame,
+    is_base: Column,
+    text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """Token-distribution drift between two corpus slices — the
+    monitoring report you run between corpus snapshots (or sources)
+    before retraining: per-token contribution to KL(P‖Q), where P is
+    the base slice's add-1-smoothed unigram distribution and Q the
+    comparison slice's, both over the union vocabulary.
+
+    For token w with counts a_c (base) / b_c (rest):
+    ``contrib(w) = p·(ln p − ln q)``, ``p = (a_c+1)/(A+V)``,
+    ``q = (b_c+1)/(B+V)`` — quantized ONCE per distinct token to
+    round(1e12·contrib) (bigint pico-units), so any aggregate a
+    consumer takes over them is exact integer arithmetic (the
+    dsir_scores hazard design; Σ contrib ≥ 0 is Gibbs' inequality).
+    Emitted: the ``top_k`` drift-driving tokens by |contrib|
+    (tie-break token ASC) — the actionable output: WHICH tokens moved.
+
+    Plan: one explode → vocab groupBy (map-side combine) → broadcast
+    1-row totals → TakeOrderedAndProject.  One keyed shuffle.
+    """
+    toks = docs.select(
+        is_base.alias("_is_b"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count_if(F.col("_is_b")).alias("a_c"),
+        F.count_if(~F.col("_is_b")).alias("b_c"),
+    )
+    totals = vocab.agg(
+        F.sum("a_c").alias("_A"),
+        F.sum("b_c").alias("_B"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    p = (F.col("a_c") + 1) / (F.col("_A") + F.col("_V")).cast("double")
+    q = (F.col("b_c") + 1) / (F.col("_B") + F.col("_V")).cast("double")
+    contrib = p * (F.log(p) - F.log(q))
+    return (
+        vocab.crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "a_c",
+            "b_c",
+            F.round(contrib * F.lit(1e12), 0)
+            .cast("bigint")
+            .alias("kl_contrib_pico"),
+        )
+        .orderBy(F.abs(F.col("kl_contrib_pico")).desc(), F.asc("tok"))
+        .limit(top_k)
     )

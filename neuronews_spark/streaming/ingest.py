@@ -244,3 +244,69 @@ def stateful_running_counts(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def start_incremental_er(
+    stream_mentions: DataFrame,
+    catalog: ParquetCatalog,
+    store_table: str = "entity_store",
+    out_table: str = "resolutions",
+    checkpoint_dir: str | None = None,
+    threshold: float = 0.88,
+    scorer: str = "difflib",
+) -> StreamingQuery:
+    """Day-2 ER as a stream: every mention micro-batch resolves against
+    the CURRENT canonical store (`operators/incremental_er
+    .attach_increment` — the reference's per-ingest
+    kg_updater.update_from_document:193 loop, batched), then
+
+      * resolutions MERGE into ``out_table`` keyed by mention_id, and
+      * every resolved (form → entity) pair MERGEs into ``store_table``
+        keyed by the registered form — the distributed
+        ``EntityResolver._register`` (resolution.py:222-227): future
+        variants of a surface resolve to the same id, including
+        entities FOUNDED by an earlier micro-batch.
+
+    Exactly-once: replayed batches re-merge the same keys.  The entity
+    ASSIGNMENT is replay-stable — a replayed mention that originally
+    founded (or fuzzily matched) an entity now exact-matches the form
+    its first delivery registered, yielding the SAME entity_id; only
+    the audit columns (match_kind/score) reflect the re-evaluation.
+    """
+
+    def _attach(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        from neuronews_spark.operators.incremental_er import attach_increment
+
+        spark = batch.sparkSession
+        if catalog.exists(store_table):
+            store = catalog.read(store_table).select(
+                "entity_id", "entity_type", "norm"
+            )
+        else:
+            store = spark.createDataFrame(
+                [], "entity_id string, entity_type string, norm string"
+            )
+        res = attach_increment(
+            store, batch, threshold=threshold, scorer=scorer
+        ).localCheckpoint(eager=True)  # one evaluation feeds both merges
+        catalog.merge_upsert(
+            out_table,
+            res.withColumn("batch_id", F.lit(int(epoch_id))),
+            key="mention_id",
+        )
+        forms = res.select(
+            F.concat_ws(":", "entity_type", "norm").alias("form_key"),
+            "entity_id",
+            "entity_type",
+            "norm",
+        )
+        catalog.merge_upsert(store_table, forms, key="form_key")
+
+    writer = stream_mentions.writeStream.foreachBatch(_attach).outputMode(
+        "update"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -101,3 +101,42 @@ def test_importance_sample_emits_exact_draw_and_keeps_schema(spark):
     assert out.columns == ["doc_id", "w", "draw"]
     for r in out.collect():
         assert r["draw"] == _u(17, r["doc_id"])
+
+
+def test_vocab_kl_drift_matches_python(spark):
+    from neuronews_spark.operators.importance import vocab_kl_drift
+
+    rows = [
+        (1, "aa aa bb", True),
+        (2, "aa cc", True),
+        (3, "bb bb bb dd", False),
+        (4, "aa dd dd", False),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "base"])
+    base = [w for _, t, b in rows if b for w in t.split()]
+    rest = [w for _, t, b in rows if not b for w in t.split()]
+    a_c, b_c = Counter(base), Counter(rest)
+    vocab = sorted(set(base) | set(rest))
+    A, B, V = len(base), len(rest), len(vocab)
+    exp = {}
+    for w in vocab:
+        p = (a_c.get(w, 0) + 1) / (A + V)
+        q = (b_c.get(w, 0) + 1) / (B + V)
+        exp[w] = (
+            a_c.get(w, 0),
+            b_c.get(w, 0),
+            round(1e12 * p * (math.log(p) - math.log(q))),
+        )
+    got = [
+        (r["tok"], r["a_c"], r["b_c"], r["kl_contrib_pico"])
+        for r in vocab_kl_drift(
+            docs, F.col("base"), top_k=10
+        ).collect()
+    ]
+    want = sorted(
+        ((w, *exp[w]) for w in vocab),
+        key=lambda t: (-abs(t[3]), t[0]),
+    )
+    assert got == want
+    # Gibbs: total KL over the full vocab is non-negative
+    assert sum(v[2] for v in exp.values()) >= 0
