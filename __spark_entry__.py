@@ -2631,6 +2631,19 @@ def q_approx_distinct_gate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-conversation transcript profile — turn counts by role,
+    adjacent-role handoffs, text volume, wall duration, distinct tools
+    — over the derived BASELINE-shaped transcript table (input_hint
+    schema: conv_id, turn_idx, role, text, tool, ts).  Every aggregate
+    on the surface is exact: integer counts, min/max timestamps,
+    integer duration, sorted comma-joined tool set."""
+    _prep(spark)
+    from neuronews_spark.operators.conversations import conversation_stats
+
+    return conversation_stats(derived_transcripts(spark, sf, plant=True))
+
+
 def q_vocab_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-shift monitor: top-50 tokens driving KL(P‖Q)
     between the lang='en' slice's unigram distribution and the rest of
@@ -2852,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- position 51+: oracled, family already represented above ---
         "approx_quantile_gate": q_approx_quantile_gate,
         "vocab_kl_drift": q_vocab_kl_drift,
+        "conversation_stats": q_conversation_stats,
         "keywords_top10": q_keywords_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -3061,6 +3075,52 @@ def _pattern_entities_sql() -> str:
                count(DISTINCT doc) AS n_docs,
                array_to_string(list_sort(list_distinct(list(surface))), ',') AS aliases
         FROM normed GROUP BY etype, norm
+    """
+
+
+def _transcripts_sql() -> str:
+    """DuckDB mirror of derived_transcripts(plant=True): the full
+    BASELINE input_hint table (conv_id, turn_idx, role, text, tool,
+    ts) — the same chunk/plant derivation _mention_extraction_sql
+    rebuilds, plus the role/tool/ts columns."""
+    from neuronews_spark.sources.synthetic import _text_pools
+
+    pool, _v = _text_pools(42)
+    p = len(pool)
+    pool_sql = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in pool) + "]"
+    return f"""
+        SELECT conv_id, turn_idx,
+               ['user', 'assistant', 'tool'][(turn_idx % 3)::int + 1] AS role,
+               t AS text,
+               CASE WHEN turn_idx % 3 = 2 THEN 'search' END AS tool,
+               make_timestamp((1700000000 + doc_id * 1000 + turn_idx)
+                 * 1000000) AS ts
+        FROM (
+          SELECT conv_id, doc_id, turn_idx,
+                 CASE WHEN h % 3 = 0
+                      THEN chunk || ' we discussed '
+                           || ({pool_sql})[(h % {p})::int + 1] || ' today'
+                      WHEN h % 7 = 1
+                      THEN chunk || ' . ' || ({pool_sql})[(h % {p})::int + 1]
+                           || ' works at '
+                           || ({pool_sql})[((h + 13) % {p})::int + 1] || ' now'
+                      ELSE chunk END AS t
+          FROM (
+            SELECT conv_id, doc_id, turn_idx,
+                   array_to_string(
+                     list_slice(words, turn_idx * 8 + 1, turn_idx * 8 + 8),
+                     ' ') AS chunk,
+                   (doc_id * 2654435761 + turn_idx * 40503)
+                     % 2147483648 AS h
+            FROM (
+              SELECT conv_id, doc_id, words,
+                     unnest(range(greatest(ceil(len(words) / 8.0), 1)::bigint))::int
+                       AS turn_idx
+              FROM (
+                SELECT doc_id, 'conv_' || doc_id::varchar AS conv_id,
+                       list_filter(string_split(text, ' '), x -> x <> '')
+                         AS words
+                FROM documents) d) u) c) pt
     """
 
 
@@ -5170,6 +5230,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    TRUE AS within_tol
             FROM events GROUP BY event_type
+        """,
+        # conversation profile: exact counts / min-max timestamps /
+        # integer duration / sorted comma-joined tool set over the
+        # rebuilt input_hint transcript table
+        "conversation_stats": f"""
+            WITH tr AS MATERIALIZED ({_transcripts_sql()}),
+            lagged AS (
+              SELECT *, lag(role) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+              FROM tr)
+            SELECT conv_id,
+                   count(*)::bigint AS n_turns,
+                   count(*) FILTER (role = 'user')::bigint AS n_user,
+                   count(*) FILTER (role = 'assistant')::bigint
+                     AS n_assistant,
+                   count(*) FILTER (role = 'tool')::bigint AS n_tool,
+                   count(*) FILTER (prev_role IS NOT NULL
+                                    AND role <> prev_role)::bigint
+                     AS n_role_switches,
+                   sum(length(coalesce(text, '')))::bigint AS total_chars,
+                   min(ts) AS first_ts,
+                   max(ts) AS last_ts,
+                   (epoch(max(ts)) - epoch(min(ts)))::bigint AS duration_s,
+                   coalesce(array_to_string(list_sort(list_distinct(
+                     list(tool) FILTER (tool IS NOT NULL))), ','), '')
+                     AS tools_used
+            FROM lagged GROUP BY conv_id
         """,
         # KL drift: dsir-style quantize-then-order — the ORDER BY runs
         # on the quantized bigint, so both engines rank identically

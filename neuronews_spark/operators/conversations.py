@@ -24,7 +24,7 @@ never silently dropped).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -67,4 +67,49 @@ def explode_turns(conversations: DataFrame) -> DataFrame:
     return conversations.select(
         "conv_id",
         F.posexplode(F.split(F.col("doc_text"), " ")).alias("pos", "word"),
+    )
+
+
+def conversation_stats(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation transcript analytics — the profile you compute
+    over an agent-conversation corpus before training on it: turn
+    counts by role, user→assistant handoff count, text volume, wall
+    duration, and the distinct tools invoked.
+
+    Returns one row per conv_id:
+      n_turns, n_user, n_assistant, n_tool, n_role_switches (adjacent
+      turns whose role differs, in turn_idx order), total_chars,
+      first_ts, last_ts, duration_s (exact integer seconds),
+      tools_used (comma-joined sorted distinct non-null tools — a
+      string, not an array, so it hashes across engines).
+
+    Plan: ONE shuffle on conv_id — the lag window and the groupBy share
+    the partitioning, so Catalyst plans a single exchange; every
+    aggregate is exact-integer / min / max (order-free).  At 10^12
+    turns this is the same conv-keyed exchange the assembly step
+    already pays; hot conversations land on AQE skew handling like
+    assemble_conversations documents.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = transcripts.withColumn("_prev_role", F.lag("role").over(w))
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count_if(F.col("role") == "user").alias("n_user"),
+        F.count_if(F.col("role") == "assistant").alias("n_assistant"),
+        F.count_if(F.col("role") == "tool").alias("n_tool"),
+        F.count_if(
+            F.col("_prev_role").isNotNull()
+            & (F.col("role") != F.col("_prev_role"))
+        ).alias("n_role_switches"),
+        F.sum(F.length(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "total_chars"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("duration_s"),
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.col("tool")))
+        ).alias("tools_used"),
     )

@@ -66,3 +66,34 @@ def test_max_turns_cap(spark):
     got = assemble_conversations(df, max_turns=3).collect()[0]
     assert got["doc_text"] == "t0 t1 t2"
     assert got["n_turns"] == 10  # cap is auditable, count is not reduced
+
+
+def test_conversation_stats_hand_case(spark):
+    from datetime import datetime
+
+    from neuronews_spark.operators.conversations import conversation_stats
+
+    rows = [
+        # conv A: user, assistant, tool, assistant — 3 switches, 1 tool
+        ("A", 0, "user", "hi there", None, datetime(2024, 1, 1, 0, 0, 0)),
+        ("A", 1, "assistant", "hello", None, datetime(2024, 1, 1, 0, 0, 5)),
+        ("A", 2, "tool", "result", "search", datetime(2024, 1, 1, 0, 0, 9)),
+        ("A", 3, "assistant", "done", None, datetime(2024, 1, 1, 0, 1, 0)),
+        # conv B: two user turns, no switch, no tools, zero duration
+        ("B", 0, "user", "a", None, datetime(2024, 1, 2, 0, 0, 0)),
+        ("B", 1, "user", None, None, datetime(2024, 1, 2, 0, 0, 0)),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r.asDict() for r in conversation_stats(t).collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_turns"], a["n_user"], a["n_assistant"], a["n_tool"]) == (4, 1, 2, 1)
+    assert a["n_role_switches"] == 3
+    assert a["total_chars"] == len("hi there") + len("hello") + len("result") + len("done")
+    assert a["duration_s"] == 60
+    assert a["tools_used"] == "search"
+    assert (b["n_turns"], b["n_user"], b["n_role_switches"]) == (2, 2, 0)
+    assert b["total_chars"] == 1  # null text counts as ''
+    assert b["duration_s"] == 0
+    assert b["tools_used"] == ""
