@@ -1,0 +1,99 @@
+"""spark-submit entrypoint for incremental (day-2) entity resolution:
+attach a new mention batch to an EXISTING canonical store (the batch
+form of the reference's per-ingest resolver loop,
+kg_updater.update_from_document:193).
+
+    spark-submit --py-files dist/neuronews_spark.zip \
+        jobs/attach_job.py \
+        --store    s3://bucket/er_out/store/ \
+        --mentions s3://bucket/mentions/2026-08-19/ \
+        --output   s3://bucket/er_out/attach/2026-08-19/ \
+        --update-store
+
+``--store`` holds (entity_id, entity_type, norm) — one row per
+registered surface form.  ``--mentions`` holds (mention_id,
+entity_type, norm).  With ``--update-store`` the job also registers
+every resolved (form → entity) pair back into the store (the
+distributed ``EntityResolver._register``), so tomorrow's batch can
+match entities founded today.  Store updates key on the form, so
+re-running the same day's job is idempotent on entity assignment.
+
+Prints a one-line JSON summary with per-match-kind counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--store", required=True, help="canonical store parquet")
+    p.add_argument("--mentions", required=True, help="mention batch parquet")
+    p.add_argument("--output", required=True, help="resolution output path")
+    p.add_argument("--update-store", action="store_true")
+    p.add_argument("--threshold", type=float, default=0.88)
+    p.add_argument(
+        "--scorer", choices=("difflib", "jaro_winkler"), default="difflib"
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    # only stop a session this job itself created — under pytest the
+    # fixture session must survive the call
+    owns_session = SparkSession.getActiveSession() is None
+    spark = SparkSession.builder.appName("neuronews-er-attach").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    from neuronews_spark.operators.incremental_er import attach_increment
+    from neuronews_spark.sources.tables import ParquetCatalog
+
+    store = spark.read.parquet(args.store).select(
+        "entity_id", "entity_type", "norm"
+    )
+    mentions = spark.read.parquet(args.mentions)
+    t0 = time.perf_counter()
+    res = attach_increment(
+        store, mentions, threshold=args.threshold, scorer=args.scorer
+    ).localCheckpoint(eager=True)
+    res.write.mode("overwrite").parquet(args.output)
+    if args.update_store:
+        import os
+
+        catalog = ParquetCatalog(spark, os.path.dirname(args.store.rstrip("/")))
+        forms = res.select(
+            F.concat_ws(":", "entity_type", "norm").alias("form_key"),
+            "entity_id",
+            "entity_type",
+            "norm",
+        )
+        catalog.merge_upsert(
+            os.path.basename(args.store.rstrip("/")), forms, key="form_key"
+        )
+    kinds = {
+        r["match_kind"]: r["n"]
+        for r in res.groupBy("match_kind").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    dt = time.perf_counter() - t0
+    n = sum(kinds.values())
+    print(
+        json.dumps(
+            {
+                "n_mentions": n,
+                "by_kind": kinds,
+                "sec": round(dt, 2),
+                "mentions_per_sec": round(n / dt, 1) if dt > 0 else None,
+            }
+        )
+    )
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

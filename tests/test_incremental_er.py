@@ -160,3 +160,49 @@ def test_jaro_winkler_scorer_path(spark):
         store, mentions, threshold=0.9, scorer="jaro_winkler"
     ).collect()
     assert rows[0]["match_kind"] == "fuzzy" and rows[0]["score"] >= 0.9
+
+
+def test_attach_job_cli_end_to_end(spark, tmp_path):
+    """jobs/attach_job.py over local parquet: resolves, writes output,
+    and --update-store registers new forms for the next day's run."""
+    import json as _json
+    import sys
+    from io import StringIO
+
+    store_path = str(tmp_path / "wh" / "store")
+    mention_path = str(tmp_path / "mentions")
+    out_path = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("e:acme", "Organization:acme rockets", "Organization", "acme rockets")],
+        "entity_id string, form_key string, entity_type string, norm string",
+    ).write.parquet(store_path)
+    spark.createDataFrame(
+        [("m1", "Organization", "acme rockets"),
+         ("m2", "Organization", "new thing entirely")],
+        "mention_id string, entity_type string, norm string",
+    ).write.parquet(mention_path)
+
+    from jobs.attach_job import main
+
+    cap = StringIO()
+    old = sys.stdout
+    sys.stdout = cap
+    try:
+        main([
+            "--store", store_path,
+            "--mentions", mention_path,
+            "--output", out_path,
+            "--update-store",
+        ])
+    finally:
+        sys.stdout = old
+    summary = _json.loads(cap.getvalue().strip().splitlines()[-1])
+    assert summary["n_mentions"] == 2
+    assert summary["by_kind"] == {"exact": 1, "new": 1}
+    res = {r["mention_id"]: r["entity_id"]
+           for r in spark.read.parquet(out_path).collect()}
+    assert res["m1"] == "e:acme"
+    # the founded entity's form is now registered in the store
+    store = {r["norm"]: r["entity_id"]
+             for r in spark.read.parquet(store_path).collect()}
+    assert "new thing entirely" in store
