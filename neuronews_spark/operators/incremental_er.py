@@ -198,6 +198,10 @@ def attach_increment(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # two consumers (the union output and the residual anti-join):
+        # truncate so the candidate join + Arrow kernel run ONCE — the
+        # pipeline.py lazy-localCheckpoint multi-consumer pattern
+        .localCheckpoint(eager=False)
     )
 
     new = rest.join(

@@ -127,3 +127,48 @@ def test_deterministic_shuffle_single_hash_exchange_no_global_sort(spark):
     assert len(shuffles) == 1, shuffles
     assert "hashpartitioning" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_attach_increment_single_window_and_broadcast_max(spark):
+    """attach_increment's plan claims: the 1-row max in
+    importance_sample-style operators is broadcast, and the attach
+    argmax is ONE mention-keyed window (no global sort anywhere)."""
+    from neuronews_spark.operators.incremental_er import attach_increment
+
+    store = spark.createDataFrame(
+        [("e1", "Organization", "acme rockets")],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Organization", "acme rocket")],
+        ["mention_id", "entity_type", "norm"],
+    )
+    import re
+
+    plan = _plan(attach_increment(store, mentions))
+    # the scored/argmax subplan is localCheckpointed: the final plan
+    # carries NO Window operator — both consumers of `matched` read the
+    # truncated RDD, so the candidate join + Arrow kernel run ONCE
+    windows = re.findall(r"^\s*\(\d+\) Window\b", plan, re.M)
+    assert windows == [], windows
+    assert "ExistingRDD" in plan
+    # and the argmax never plans a global sort (TakeOrdered/global Sort)
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_conversation_stats_single_exchange(spark):
+    """The lag window and the groupBy share conv_id partitioning —
+    one shuffle exchange total."""
+    from datetime import datetime
+
+    from neuronews_spark.operators.conversations import conversation_stats
+
+    t = spark.createDataFrame(
+        [("A", 0, "user", "x", None, datetime(2024, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    plan = _plan(conversation_stats(t))
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, shuffles
