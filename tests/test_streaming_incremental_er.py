@@ -116,3 +116,55 @@ def test_replay_is_entity_id_stable(spark, tmp_path):
     replay = attach_increment(store, batch).collect()[0]
     assert replay["entity_id"] == first["entity_id"]
     assert replay["match_kind"] == "exact"
+
+
+def test_restart_from_checkpoint_processes_only_new_batches(spark, tmp_path):
+    """Stop the stream, restart with the same checkpoint dir: already-
+    committed batches are not reprocessed, and the restarted query
+    resolves new mentions against the store the first run built."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write(rows, name):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, name))
+
+    def _start():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src + "/*")
+        )
+        return start_incremental_er(stream, catalog, checkpoint_dir=ckpt)
+
+    _write([("m1", "Organization", "acme rockets")], "b1")
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first = {
+        r["mention_id"]: r["batch_id"]
+        for r in catalog.read("resolutions").collect()
+    }
+    assert set(first) == {"m1"}
+
+    _write([("m2", "Organization", "acme rocket")], "b2")
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {
+        r["mention_id"]: (r["entity_id"], r["match_kind"], r["batch_id"])
+        for r in catalog.read("resolutions").collect()
+    }
+    assert set(rows) == {"m1", "m2"}
+    # m1 kept its original batch id — it was NOT reprocessed on restart
+    assert rows["m1"][2] == first["m1"]
+    # m2 fuzzy-attached to the entity the PRE-RESTART run founded
+    assert rows["m2"][0] == _new_id("Organization", "acme rockets")
+    assert rows["m2"][1] == "fuzzy"
