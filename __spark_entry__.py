@@ -5294,7 +5294,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n_rows, p.p AS p,
                    TRUE AS within_tol
             FROM events,
-                 (SELECT unnest([0.5, 0.9, 0.99]) AS p) p
+                 (SELECT unnest([0.5, 0.9, 0.99]::double[]) AS p) p
             GROUP BY event_type, p.p
         """,
         "session_windows": """
