@@ -2644,6 +2644,29 @@ def q_conversation_stats(spark: SparkSession, sf: str) -> DataFrame:
     return conversation_stats(derived_transcripts(spark, sf, plant=True))
 
 
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-version diff (added / removed / changed + fingerprints)
+    between two deterministic snapshots of the documents table:
+    old = doc_id % 7 ≠ 0; new = doc_id % 13 ≠ 0 with text amended
+    (' v2') where doc_id % 11 = 0 — so all three change kinds are
+    populated at every SF.  One full-outer hash join, no window, no
+    sort; unchanged rows never materialize."""
+    _prep(spark)
+    from neuronews_spark.sources.tables import snapshot_diff
+
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
 def q_vocab_kl_drift(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution-shift monitor: top-50 tokens driving KL(P‖Q)
     between the lang='en' slice's unigram distribution and the rest of
@@ -2866,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_gate": q_approx_quantile_gate,
         "vocab_kl_drift": q_vocab_kl_drift,
         "conversation_stats": q_conversation_stats,
+        "snapshot_diff": q_snapshot_diff,
         "keywords_top10": q_keywords_top10,
         "embedding_near_dups": q_embedding_near_dups,
         "lm_quality_buckets": q_lm_quality_buckets,
@@ -5230,6 +5254,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    TRUE AS within_tol
             FROM events GROUP BY event_type
+        """,
+        # snapshot diff: md5 fingerprints + change kind over a
+        # full-outer key join; unchanged rows filtered on both sides
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS before_hash
+              FROM documents WHERE doc_id % 7 <> 0),
+            n AS (
+              SELECT doc_id,
+                     md5(coalesce(CASE WHEN doc_id % 11 = 0
+                                       THEN text || ' v2'
+                                       ELSE text END, '')) AS after_hash
+              FROM documents WHERE doc_id % 13 <> 0)
+            SELECT doc_id,
+                   CASE WHEN before_hash IS NULL THEN 'added'
+                        WHEN after_hash IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   before_hash, after_hash
+            FROM o FULL OUTER JOIN n USING (doc_id)
+            WHERE before_hash IS NULL OR after_hash IS NULL
+               OR before_hash <> after_hash
         """,
         # conversation profile: exact counts / min-max timestamps /
         # integer duration / sorted comma-joined tool set over the

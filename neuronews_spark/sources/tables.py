@@ -21,7 +21,7 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -174,4 +174,57 @@ def iceberg_merge_sql(table: str, key: str, columns: list[str]) -> str:
         f"MERGE INTO {table} t USING updates s ON t.{key} = s.{key} "
         f"WHEN MATCHED THEN UPDATE SET {sets} "
         f"WHEN NOT MATCHED THEN INSERT ({cols}) VALUES ({vals})"
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshots of a table — the audit you
+    run between corpus versions before retraining (which documents were
+    added / removed / changed, feeding CDC-style downstream refresh).
+
+    ``compare_cols`` (default: every shared non-key column) are the
+    columns whose change makes a row "changed"; comparison is by md5 of
+    the '\\x1f'-joined canonical string forms, so the emitted
+    before/after fingerprints are engine-portable and null-safe
+    (NULL → the empty string, distinguishable via the joined layout).
+
+    Returns (key, change, before_hash, after_hash) with change ∈
+    added | removed | changed — unchanged rows are NOT emitted (the
+    diff of two 100 TB snapshots is usually small; emitting it, not the
+    tables, is the point).  Plan: one full-outer hash join on the key,
+    filters — no window, no sort.
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != key and c in new.columns
+        ]
+
+    def fp(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols],
+            )
+        )
+
+    o = old.select(F.col(key).alias("_k"), fp(old).alias("before_hash"))
+    n = new.select(F.col(key).alias("_k"), fp(new).alias("after_hash"))
+    joined = o.join(n, "_k", "full_outer")
+    return joined.select(
+        F.col("_k").alias(key),
+        F.when(F.col("before_hash").isNull(), "added")
+        .when(F.col("after_hash").isNull(), "removed")
+        .otherwise("changed")
+        .alias("change"),
+        "before_hash",
+        "after_hash",
+    ).filter(
+        F.col("before_hash").isNull()
+        | F.col("after_hash").isNull()
+        | (F.col("before_hash") != F.col("after_hash"))
     )

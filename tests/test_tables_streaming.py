@@ -331,3 +331,30 @@ def test_session_window_streaming_emits_finalized_sessions(spark, tmp_path):
     assert rows["u1"]["sum_value_cents"] == 300
     assert rows["u1"]["session_start"] == T0
     assert rows["u1"]["session_end"] == T0 + timedelta(seconds=10)
+
+
+def test_snapshot_diff_hand_case(spark):
+    import hashlib
+
+    from neuronews_spark.sources.tables import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+        "id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, ""), (5, "e")],
+        "id bigint, text string",
+    )
+    got = {
+        r["id"]: (r["change"], r["before_hash"], r["after_hash"])
+        for r in snapshot_diff(old, new, "id").collect()
+    }
+    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # 1 removed, 5 added, 3 changed; 2 unchanged (absent);
+    # 4: NULL -> '' fingerprints equal => absent (documented null form)
+    assert got == {
+        1: ("removed", h("a"), None),
+        3: ("changed", h("c"), h("c2")),
+        5: ("added", None, h("e")),
+    }
