@@ -728,6 +728,19 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_train(_t(spark, sf, "documents"), 12)
 
 
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Train 12 BPE merges on the corpus, then encode the corpus with
+    them — per-doc (n_words, n_bpe_tokens), the token accounting a
+    packing/billing stage runs with a freshly trained tokenizer.  The
+    merge table is broadcast; encoding caches per distinct word within
+    each Arrow batch."""
+    _prep(spark)
+    from neuronews_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    docs = _t(spark, sf, "documents")
+    return bpe_encode(docs, bpe_train(docs, 12))
+
+
 def q_lm_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
     """CCNet-style (Wenzek et al. 2020) LM quality tiering: per-doc
     cross-entropy under a smoothed unigram model fit on the lang='en'
@@ -2978,6 +2991,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   via bpe_top_pairs, and the full loop is pinned by differential
         #   pytests vs a pure-Python Sennrich reference (test_tokenizer.py)
         "bpe_merges": q_bpe_merges,
+        # bpe_token_counts: merge APPLICATION is iterative per word (no
+        #   SQL mirror); pinned by per-word differential + the
+        #   trainer-state consistency invariant (encode(train corpus)
+        #   reproduces the trainer's final symbol totals)
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 

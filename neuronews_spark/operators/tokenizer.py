@@ -32,10 +32,12 @@ boundaries and word-final units stay distinct from word-internal ones.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
-__all__ = ["word_counts", "bpe_pair_counts", "bpe_train"]
+__all__ = ["word_counts", "bpe_pair_counts", "bpe_train", "bpe_encode"]
 
 _EOW = "</w>"
 
@@ -176,4 +178,83 @@ def bpe_train(
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_freq bigint"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus with a trained merge table — the apply half of
+    BPE (tokenize for packing / token accounting): returns
+    ``(id, n_words, n_bpe_tokens)`` per document.
+
+    The merge table (step, left, right, ...) is broadcast to every
+    executor (it is vocabulary-sized: thousands of rows); each Arrow
+    batch applies merges per DISTINCT word in learned order with a
+    per-batch word cache, so a word repeated across the batch is
+    encoded once (the same distinct-word compression the trainer uses).
+    Merge application is inherently iterative per word, so there is no
+    SQL mirror — correctness is pinned by the differential pytest that
+    encodes with the SAME pure-Python implementation used to verify
+    :func:`bpe_train` (tests/test_tokenizer.py).
+    """
+    ranked = [
+        (r["left"], r["right"])
+        for r in merges.orderBy("step").collect()
+    ]
+    rank = {pair: i for i, pair in enumerate(ranked)}
+    b_rank = docs.sparkSession.sparkContext.broadcast(rank)
+
+    @pandas_udf("struct<n_words: bigint, n_bpe_tokens: bigint>")
+    def encode(text: pd.Series) -> pd.DataFrame:
+        rk = b_rank.value
+        cache: dict[str, int] = {}
+
+        def word_len(word: str) -> int:
+            n = cache.get(word)
+            if n is not None:
+                return n
+            sym = list(word) + [_EOW]
+            while len(sym) > 1:
+                best, best_r, best_i = None, None, None
+                for i in range(len(sym) - 1):
+                    r = rk.get((sym[i], sym[i + 1]))
+                    if r is not None and (best_r is None or r < best_r):
+                        best, best_r, best_i = (sym[i], sym[i + 1]), r, i
+                if best is None:
+                    break
+                # apply THIS merge left-to-right non-overlapping
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i + 1 < len(sym)
+                        and sym[i] == best[0]
+                        and sym[i + 1] == best[1]
+                    ):
+                        out.append(best[0] + best[1])
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                sym = out
+            cache[word] = len(sym)
+            return len(sym)
+
+        n_words, n_tok = [], []
+        for t in text:
+            ws = [w for w in (t or "").lower().split() if w]
+            n_words.append(len(ws))
+            n_tok.append(sum(word_len(w) for w in ws))
+        return pd.DataFrame({"n_words": n_words, "n_bpe_tokens": n_tok})
+
+    return docs.select(
+        F.col(id_col),
+        encode(F.col(text_col)).alias("_e"),
+    ).select(
+        id_col,
+        F.col("_e.n_words").alias("n_words"),
+        F.col("_e.n_bpe_tokens").alias("n_bpe_tokens"),
     )

@@ -128,3 +128,69 @@ def test_merge_application_is_non_overlapping_left_to_right(spark):
     assert merges[0][1:3] == ("a", "a")
     # step 2 ties (aa,aa)=3 with (aa,</w>)=3; '<' sorts before 'a'
     assert merges[1][1:3] == ("aa", "</w>")
+
+
+def _python_encode_len(word: str, rank: dict) -> int:
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best, best_r = None, None
+        for i in range(len(sym) - 1):
+            r = rank.get((sym[i], sym[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best, best_r = (sym[i], sym[i + 1]), r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == best[0] and sym[i + 1] == best[1]:
+                out.append(best[0] + best[1])
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return len(sym)
+
+
+def test_bpe_encode_matches_python_and_trainer_state(spark):
+    from neuronews_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    rng = random.Random(97)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+             for _ in range(30)]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(2, 15)))
+             for _ in range(25)]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, 10)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    rank = {
+        (r["left"], r["right"]): r["step"] for r in merges.collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        assert got[i] == (len(ws), sum(_python_encode_len(w, rank) for w in ws))
+    # encode(training corpus) reproduces the trainer's final symbol
+    # state: total bpe tokens == Σ |final vocab symbols| · freq
+    py_merges = _python_bpe(texts, 10)
+    vocab = Counter(w for t in texts for w in t.lower().split())
+    sym_state = {tuple(list(w) + ["</w>"]): c for w, c in vocab.items()}
+    for _, left, right, _f in py_merges:
+        new_state = {}
+        for sym, c in sym_state.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_state[tuple(out)] = new_state.get(tuple(out), 0) + c
+        sym_state = new_state
+    want_total = sum(len(s) * c for s, c in sym_state.items())
+    assert sum(v[1] for v in got.values()) == want_total
