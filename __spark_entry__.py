@@ -835,6 +835,9 @@ def q_er_attach_increment(spark: SparkSession, sf: str) -> DataFrame:
         m.filter(F.col("norm") != "")
         .select("entity_type", "norm")
         .distinct()
+        # two consumers (store + the perturbed increment): truncate so
+        # the Arrow NER extraction pipeline runs ONCE
+        .localCheckpoint(eager=False)
     )
     store = v.select(
         F.md5(F.concat_ws(":", F.lit("e"), "entity_type", "norm")).alias(
