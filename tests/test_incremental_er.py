@@ -206,3 +206,122 @@ def test_attach_job_cli_end_to_end(spark, tmp_path):
     store = {r["norm"]: r["entity_id"]
              for r in spark.read.parquet(store_path).collect()}
     assert "new thing entirely" in store
+
+
+def test_day2_incremental_f1_against_sequential_greedy(spark):
+    """North-star metric under the DAY-2 regime: half the labeled
+    corpus builds the canonical store via the batch pipeline, the other
+    half arrives as an increment.  Composition = attach → register
+    matched forms → re-attach the residue (the streaming sink's
+    per-batch registration semantics) → batch-resolve what remains
+    among itself.  Ground truth = the greedy reference resolver
+    processing the SAME A-then-B order (no embedder on either side).
+    Pairwise F1 must meet the ≥ 0.99 target."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from neuronews_spark.functions.normalize import normalize_name
+    from neuronews_spark.pipeline import resolve_from_mentions
+    from neuronews_spark.reference_oracle import greedy_clusters
+    from neuronews_spark.sources.synthetic import labeled_corpus
+
+    mentions, _, _ = labeled_corpus(spark, seed=42, copies=2)
+    surf = sorted({(r["entity_type"], r["name"]) for r in mentions.collect()})
+
+    def side(s):
+        return int(hashlib.md5(f"{s[0]}:{s[1]}".encode()).hexdigest()[:8], 16) % 2
+
+    A = [s for s in surf if side(s) == 0]
+    B = [s for s in surf if side(s) == 1]
+    assert len(A) > 50 and len(B) > 50
+    truth = greedy_clusters(A + B, embedder=None)
+
+    m_a = spark.createDataFrame(
+        [("c", i, n, t) for i, (t, n) in enumerate(A)],
+        "conv_id string, mention_idx int, name string, entity_type string",
+    )
+    res_a = resolve_from_mentions(spark, m_a)
+    alias_map = (
+        res_a.vertices.join(res_a.id_map, "node_id")
+        .select("entity_id", "entity_type", F.explode("aliases").alias("nm"))
+    )
+    store = alias_map.select(
+        "entity_id",
+        "entity_type",
+        normalize_name(F.col("nm"), F.col("entity_type")).alias("norm"),
+    ).filter(F.col("norm") != "").distinct()
+    cluster = {
+        (r["entity_type"], r["nm"]): r["entity_id"]
+        for r in alias_map.collect()
+    }
+
+    def attach_pass(surfs, store_df):
+        m = spark.createDataFrame(
+            [(f"{t}|{n}", t, n) for t, n in surfs],
+            "mention_id string, entity_type string, name string",
+        ).select(
+            "mention_id",
+            "entity_type",
+            normalize_name(F.col("name"), F.col("entity_type")).alias("norm"),
+        ).filter(F.col("norm") != "")
+        return attach_increment(store_df, m).collect()
+
+    rows = attach_pass(B, store)
+    matched = [
+        (tuple(r["mention_id"].split("|", 1)), r["entity_id"])
+        for r in rows
+        if r["match_kind"] != "new"
+    ]
+    residue = [
+        tuple(r["mention_id"].split("|", 1))
+        for r in rows
+        if r["match_kind"] == "new"
+    ]
+    for key, eid in matched:
+        cluster[key] = eid
+
+    if matched and residue:
+        # register the matched forms (EntityResolver._register) and give
+        # the residue one more look — a chained variant may now match
+        reg = spark.createDataFrame(
+            [(eid, t, n) for ((t, n), eid) in matched],
+            "entity_id string, entity_type string, name string",
+        ).select(
+            "entity_id",
+            "entity_type",
+            normalize_name(F.col("name"), F.col("entity_type")).alias("norm"),
+        ).filter(F.col("norm") != "")
+        rows2 = attach_pass(residue, store.unionByName(reg).distinct())
+        for r in rows2:
+            if r["match_kind"] != "new":
+                key = tuple(r["mention_id"].split("|", 1))
+                cluster[key] = r["entity_id"]
+                residue.remove(key)
+
+    if residue:
+        m_r = spark.createDataFrame(
+            [("c", i, n, t) for i, (t, n) in enumerate(sorted(residue))],
+            "conv_id string, mention_idx int, name string, entity_type string",
+        )
+        res_b = resolve_from_mentions(spark, m_r)
+        for r in (
+            res_b.vertices.join(res_b.id_map, "node_id")
+            .select("entity_id", "entity_type", F.explode("aliases").alias("nm"))
+            .collect()
+        ):
+            cluster[(r["entity_type"], r["nm"])] = "b:" + r["entity_id"]
+
+    assert all(s in cluster for s in surf)
+    tp = fp = fn = 0
+    for s1, s2 in itertools.combinations(surf, 2):
+        pred = cluster[s1] == cluster[s2]
+        tr = truth[s1] == truth[s2]
+        tp += pred and tr
+        fp += pred and not tr
+        fn += (not pred) and tr
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert tp + fn > 100  # enough positive pairs to be meaningful
+    assert f1 >= 0.99, (prec, rec, f1, tp, fp, fn)
