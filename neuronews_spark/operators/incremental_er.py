@@ -113,15 +113,29 @@ def attach_increment(
     threshold: float = 0.88,
     scorer: str = "difflib",
     prefix_len: int = 4,
+    name_embeddings: DataFrame | None = None,
+    embedding_threshold: float = 0.83,
 ) -> DataFrame:
     """Resolve ``mentions(mention_id, entity_type, norm)`` against
     ``store(entity_id, entity_type, norm)``; returns one row per
     mention: ``(mention_id, entity_type, norm, entity_id, match_kind,
     score)`` with match_kind ∈ exact | person | containment | fuzzy |
-    new.  New-entity ids are ``md5('new:' type ':' norm)`` so repeated
-    unseen surfaces in the same increment coalesce to one id, exactly
-    as the sequential resolver's second occurrence hits the entry the
-    first one registered."""
+    embedding | new.  New-entity ids are ``md5('new:' type ':' norm)``
+    so repeated unseen surfaces in the same increment coalesce to one
+    id, exactly as the sequential resolver's second occurrence hits the
+    entry the first one registered.
+
+    ``name_embeddings(name, vector)`` (keyed by the normalized form)
+    enables the reference's embedding fallback
+    (``_embedding_match``, resolution.py:204-215): mentions no rule or
+    fuzzy stage matched take the best same-type cosine ≥
+    ``embedding_threshold``.  Like the reference this stage scans the
+    whole type (no blocking) — it runs only on the rule-unmatched
+    residue, and the embedding dimension is broadcast; the scale path
+    for huge types is the IVF/SRP similarity_search suite.  One
+    widening vs the reference: cosine compares against every REGISTERED
+    form's vector, not just the display name's (recall-up, precision
+    still guarded by the threshold)."""
     if scorer not in ("difflib", "jaro_winkler"):
         raise ValueError(f"unknown scorer {scorer!r}")
 
@@ -204,9 +218,76 @@ def attach_increment(
         .localCheckpoint(eager=False)
     )
 
-    new = rest.join(
+    rest2 = rest.join(
         matched.select("mention_id"), "mention_id", "left_anti"
-    ).select(
+    )
+
+    if name_embeddings is not None:
+        dim_m = name_embeddings.select(
+            F.col("name").alias("norm"), F.col("vector").alias("_vm")
+        )
+        dim_s = name_embeddings.select(
+            F.col("name").alias("store_norm"), F.col("vector").alias("_vs")
+        )
+        ecand = (
+            rest2.join(F.broadcast(dim_m), "norm")
+            .join(
+                store.select(
+                    "entity_id",
+                    "entity_type",
+                    F.col("norm").alias("store_norm"),
+                ),
+                "entity_type",
+            )
+            .join(F.broadcast(dim_s), "store_norm")
+        )
+
+        @pandas_udf("double")
+        def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+            import numpy as np
+
+            from neuronews_spark.functions.simtext import cosine_batch
+
+            if len(va) == 0:
+                return pd.Series([], dtype="float64")
+            return pd.Series(
+                np.round(
+                    cosine_batch(np.stack(va.to_numpy()), np.stack(vb.to_numpy())),
+                    6,
+                )
+            )
+
+        escored = ecand.select(
+            "mention_id",
+            "entity_type",
+            "norm",
+            "entity_id",
+            _cos(F.col("_vm"), F.col("_vs")).alias("score"),
+        ).filter(F.col("score") >= F.lit(float(embedding_threshold)))
+        ew = Window.partitionBy("mention_id").orderBy(
+            F.desc("score"), F.asc("entity_id")
+        )
+        ematched = (
+            escored.withColumn("_rn", F.row_number().over(ew))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("match_kind", F.lit("embedding"))
+            .select(
+                "mention_id",
+                "entity_type",
+                "norm",
+                "entity_id",
+                "match_kind",
+                "score",
+            )
+            .localCheckpoint(eager=False)
+        )
+        matched = matched.unionByName(ematched)
+        rest2 = rest2.join(
+            ematched.select("mention_id"), "mention_id", "left_anti"
+        )
+
+    new = rest2.select(
         "mention_id",
         "entity_type",
         "norm",

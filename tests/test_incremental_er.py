@@ -325,3 +325,178 @@ def test_day2_incremental_f1_against_sequential_greedy(spark):
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     assert tp + fn > 100  # enough positive pairs to be meaningful
     assert f1 >= 0.99, (prec, rec, f1, tp, fp, fn)
+
+
+def test_embedding_fallback_matches_and_respects_threshold(spark):
+    store = spark.createDataFrame(
+        [("e1", "Concept", "zzz corp"), ("e2", "Concept", "qqq inc")],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("m1", "Concept", "totally different words"),  # emb ~ e1
+            ("m2", "Concept", "other unrelated thing"),    # emb below thr
+        ],
+        ["mention_id", "entity_type", "norm"],
+    )
+    emb = spark.createDataFrame(
+        [
+            ("zzz corp", [1.0, 0.0]),
+            ("qqq inc", [0.0, 1.0]),
+            ("totally different words", [0.99, 0.1]),
+            ("other unrelated thing", [0.5, 0.5]),  # cos .707 to both
+        ],
+        "name string, vector array<double>",
+    )
+    got = {
+        r["mention_id"]: (r["entity_id"], r["match_kind"])
+        for r in attach_increment(
+            store, mentions, name_embeddings=emb
+        ).collect()
+    }
+    assert got["m1"] == ("e1", "embedding")
+    assert got["m2"][1] == "new"
+
+
+def test_rule_matches_preempt_embedding(spark):
+    # fuzzy match exists AND a different entity has cosine 1.0 — the
+    # reference's _find_match returns before the embedding stage runs
+    store = spark.createDataFrame(
+        [("e1", "Concept", "alpha beta gamma"), ("e2", "Concept", "zzz")],
+        ["entity_id", "entity_type", "norm"],
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "Concept", "alpha beta gamm")],
+        ["mention_id", "entity_type", "norm"],
+    )
+    emb = spark.createDataFrame(
+        [("alpha beta gamm", [1.0, 0.0]), ("zzz", [1.0, 0.0]),
+         ("alpha beta gamma", [0.0, 1.0])],
+        "name string, vector array<double>",
+    )
+    rows = attach_increment(store, mentions, name_embeddings=emb).collect()
+    assert rows[0]["match_kind"] == "fuzzy"
+    assert rows[0]["entity_id"] == "e1"
+
+
+def test_day2_incremental_f1_with_embedding_fallback(spark):
+    """The embedder variant of the day-2 F1 gate: truth = sequential
+    greedy WITH the embedding fallback; store built with
+    name_embeddings; attach runs with norm-keyed embeddings; residual
+    batch resolve also embedding-enabled.  F1 must stay ≥ 0.99."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from neuronews_spark.functions.normalize import normalize_name
+    from neuronews_spark.functions.simtext import norm_py
+    from neuronews_spark.pipeline import resolve_from_mentions
+    from neuronews_spark.reference_oracle import greedy_clusters
+    from neuronews_spark.sources.synthetic import (
+        EMBEDDING_VECTORS,
+        labeled_corpus,
+        name_embeddings_df,
+    )
+
+    mentions, _, _ = labeled_corpus(spark, seed=42, copies=2)
+    surf = sorted({(r["entity_type"], r["name"]) for r in mentions.collect()})
+
+    def side(s):
+        return int(hashlib.md5(f"{s[0]}:{s[1]}".encode()).hexdigest()[:8], 16) % 2
+
+    A = [s for s in surf if side(s) == 0]
+    B = [s for s in surf if side(s) == 1]
+    truth = greedy_clusters(A + B, embedder=lambda n: EMBEDDING_VECTORS[n])
+
+    ne = name_embeddings_df(spark)
+    m_a = spark.createDataFrame(
+        [("c", i, n, t) for i, (t, n) in enumerate(A)],
+        "conv_id string, mention_idx int, name string, entity_type string",
+    )
+    res_a = resolve_from_mentions(spark, m_a, name_embeddings=ne)
+    alias_map = (
+        res_a.vertices.join(res_a.id_map, "node_id")
+        .select("entity_id", "entity_type", F.explode("aliases").alias("nm"))
+    )
+    store = alias_map.select(
+        "entity_id",
+        "entity_type",
+        normalize_name(F.col("nm"), F.col("entity_type")).alias("norm"),
+    ).filter(F.col("norm") != "").distinct()
+    cluster = {
+        (r["entity_type"], r["nm"]): r["entity_id"] for r in alias_map.collect()
+    }
+
+    norm_vec = {
+        norm_py(t, n): list(EMBEDDING_VECTORS[n])
+        for (t, n) in surf
+        if n in EMBEDDING_VECTORS
+    }
+    ne_norm = spark.createDataFrame(
+        list(norm_vec.items()), "name string, vector array<double>"
+    )
+
+    def attach_pass(surfs, store_df):
+        m = spark.createDataFrame(
+            [(f"{t}|{n}", t, n) for t, n in surfs],
+            "mention_id string, entity_type string, name string",
+        ).select(
+            "mention_id",
+            "entity_type",
+            normalize_name(F.col("name"), F.col("entity_type")).alias("norm"),
+        ).filter(F.col("norm") != "")
+        return attach_increment(
+            store_df, m, name_embeddings=ne_norm
+        ).collect()
+
+    rows = attach_pass(B, store)
+    matched = [
+        (tuple(r["mention_id"].split("|", 1)), r["entity_id"])
+        for r in rows
+        if r["match_kind"] != "new"
+    ]
+    residue = [
+        tuple(r["mention_id"].split("|", 1))
+        for r in rows
+        if r["match_kind"] == "new"
+    ]
+    for key, eid in matched:
+        cluster[key] = eid
+    if matched and residue:
+        reg = spark.createDataFrame(
+            [(eid, t, n) for ((t, n), eid) in matched],
+            "entity_id string, entity_type string, name string",
+        ).select(
+            "entity_id",
+            "entity_type",
+            normalize_name(F.col("name"), F.col("entity_type")).alias("norm"),
+        ).filter(F.col("norm") != "")
+        for r in attach_pass(residue, store.unionByName(reg).distinct()):
+            if r["match_kind"] != "new":
+                key = tuple(r["mention_id"].split("|", 1))
+                cluster[key] = r["entity_id"]
+                residue.remove(key)
+    if residue:
+        m_r = spark.createDataFrame(
+            [("c", i, n, t) for i, (t, n) in enumerate(sorted(residue))],
+            "conv_id string, mention_idx int, name string, entity_type string",
+        )
+        res_b = resolve_from_mentions(spark, m_r, name_embeddings=ne)
+        for r in (
+            res_b.vertices.join(res_b.id_map, "node_id")
+            .select("entity_id", "entity_type", F.explode("aliases").alias("nm"))
+            .collect()
+        ):
+            cluster[(r["entity_type"], r["nm"])] = "b:" + r["entity_id"]
+
+    tp = fp = fn = 0
+    for s1, s2 in itertools.combinations(surf, 2):
+        pred = cluster[s1] == cluster[s2]
+        tr = truth[s1] == truth[s2]
+        tp += pred and tr
+        fp += pred and not tr
+        fn += (not pred) and tr
+    prec = tp / (tp + fp) if tp + fp else 1.0
+    rec = tp / (tp + fn) if tp + fn else 1.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    assert f1 >= 0.99, (prec, rec, f1, tp, fp, fn)
