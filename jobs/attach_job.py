@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument(
         "--scorer", choices=("difflib", "jaro_winkler"), default="difflib"
     )
+    p.add_argument(
+        "--embeddings", default=None,
+        help="optional parquet (name, vector) keyed by normalized form — "
+        "enables the resolver's embedding fallback stage",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -57,9 +62,16 @@ def main(argv: list[str] | None = None) -> None:
         "entity_id", "entity_type", "norm"
     )
     mentions = spark.read.parquet(args.mentions)
+    embeddings = (
+        spark.read.parquet(args.embeddings) if args.embeddings else None
+    )
     t0 = time.perf_counter()
     res = attach_increment(
-        store, mentions, threshold=args.threshold, scorer=args.scorer
+        store,
+        mentions,
+        threshold=args.threshold,
+        scorer=args.scorer,
+        name_embeddings=embeddings,
     ).localCheckpoint(eager=True)
     res.write.mode("overwrite").parquet(args.output)
     if args.update_store:

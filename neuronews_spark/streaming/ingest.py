@@ -254,6 +254,8 @@ def start_incremental_er(
     checkpoint_dir: str | None = None,
     threshold: float = 0.88,
     scorer: str = "difflib",
+    name_embeddings: DataFrame | None = None,
+    embedding_threshold: float = 0.83,
 ) -> StreamingQuery:
     """Day-2 ER as a stream: every mention micro-batch resolves against
     the CURRENT canonical store (`operators/incremental_er
@@ -289,7 +291,12 @@ def start_incremental_er(
                 [], "entity_id string, entity_type string, norm string"
             )
         res = attach_increment(
-            store, batch, threshold=threshold, scorer=scorer
+            store,
+            batch,
+            threshold=threshold,
+            scorer=scorer,
+            name_embeddings=name_embeddings,
+            embedding_threshold=embedding_threshold,
         ).localCheckpoint(eager=True)  # one evaluation feeds both merges
         catalog.merge_upsert(
             out_table,
