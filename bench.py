@@ -41,8 +41,22 @@ docs/ARCHITECTURE.md). Two instruments make the measurement honest anyway:
 
 Because residual noise (DRAM/cache contention) still only *lowers*
 throughput, capacity per leg/size is min-over-samples of corrected time,
-and the legs are INTERLEAVED (N, 4N, N, 4N, ...) over up to
+and the legs are INTERLEAVED (N, 4N, 4N, N, 4N, 4N, ...) over up to
 SPARK_GRAFT_SCALING_ROUNDS rounds so both legs get quiet-window shots.
+The 4N leg is visited SPARK_GRAFT_LEG_VISITS_4N (default 2) times per
+round: with a min-over-samples estimator the binding constraint is
+quiet-window EXPOSURE, and it binds asymmetrically — the wider CPU set
+overlaps more host co-tenants, so suppressed eras hit the 4N leg far
+harder (r4 evidence: N-leg capacity stable within ~20% across 11 runs
+while the 4N leg swung 2.3x), while the N leg's min converges in 2-3
+rounds. Each leg visit runs in its own JVM minutes apart, so the visits
+sample distinct multi-minute noise eras. Note an era *filter* (discard
+samples whose bracketing bandwidth probe shows LLC suppression) was
+considered and rejected: it cannot move a min-over-samples estimator —
+suppressed-era samples are strictly slower and never own the min — so
+the honest lever is more 4N exposure, not sample exclusion; the
+bracketing probes are still recorded per visit (era_bw on every sample)
+so suppression is auditable from the detail file.
 At least SPARK_GRAFT_SCALING_MIN_ROUNDS rounds always run, and once the
 target is evidenced one extra confirmation round still runs, so the stop
 rule cannot select its own stopping round; unclamped ratios are reported
@@ -93,6 +107,9 @@ SCALING_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 12))
 SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 3))
 SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", 2700))
 LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 1))
+# 4N visits per round (module docstring: exposure, not filtering, is the
+# honest lever against asymmetric era suppression of the wide leg)
+LEG_VISITS_4N = int(os.environ.get("SPARK_GRAFT_LEG_VISITS_4N", 2))
 BW_REPEATS = int(os.environ.get("SPARK_GRAFT_BW_REPEATS", 3))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
@@ -171,10 +188,19 @@ def _session(cores: int) -> SparkSession:
         # GC thread count follows the leg's taskset affinity
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.shuffle.partitions", str(cores * 4))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # floor AQE coalescing at ~3x task slots: byte-targeted coalescing
+        # (~64 MB) starves CPU-bound Arrow-UDF stages of load-balance
+        # granularity — the 4M-turn extraction stage coalesced to 10
+        # partitions on 8 cores ran 2.3x slower than at 24 (measured; see
+        # session.py for the cluster-scale statement of the same rule)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores * 3),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -416,9 +442,17 @@ def _measure_scaling() -> dict:
         ):
             break
         rounds_run += 1
-        for cores in (n_cores, n4_cores):
-            bw_samples[cores].append(_bw_subprocess(cores))
-            samples[cores].extend(_run_leg_subprocess(cores))
+        visit_plan = (n_cores,) + (n4_cores,) * max(LEG_VISITS_4N, 1)
+        for cores in visit_plan:
+            bw = _bw_subprocess(cores)
+            bw_samples[cores].append(bw)
+            visit = _run_leg_subprocess(cores)
+            for s in visit:
+                # era evidence: the bandwidth the box offered this visit's
+                # CPU set right before the timed pair (suppressed eras are
+                # auditable per sample; never used to exclude samples)
+                s["era_bw"] = round(bw, 1)
+            samples[cores].extend(visit)
         if confirm_rounds_left is not None:
             confirm_rounds_left -= 1
             if confirm_rounds_left <= 0:
@@ -573,13 +607,23 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name not in queries:
                 continue
-            t0 = time.perf_counter()
-            # scope-local release: drop only the shingle/SRP caches THIS
-            # query pinned — they are per-plan, useless to the next query
-            with _dedup.cache_scope():
-                df = queries[name](spark, SF_DIR)
-                df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 2)
+            # per-query warmup (round-4 review finding): the timed number
+            # is the SECOND execution — the first pays whichever one-time
+            # costs (whole-stage codegen compile, broadcast rebuild, Arrow
+            # worker fork) happen to land on this query, which made ~15
+            # per-query numbers incomparable across rounds (stg_entities:
+            # 7.28 s recorded cold vs 1.46 s steady-state). A long-lived
+            # cluster pays those once at startup; steady-state is the
+            # number that predicts plan cost.
+            for timed in (False, True):
+                t0 = time.perf_counter()
+                # scope-local release: drop only the shingle/SRP caches
+                # THIS query pinned — per-plan, useless to the next query
+                with _dedup.cache_scope():
+                    df = queries[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                if timed:
+                    timings[name] = round(time.perf_counter() - t0, 2)
 
         er_t, _n_ents = _run_er_job(spark, ER_TURNS)
         er = {

@@ -38,6 +38,16 @@ def pin_worker_thread_pools() -> None:
         os.environ.setdefault(var, "1")
 
 
+def _local_cores(master: str) -> int:
+    """Task-slot count implied by a ``local[...]`` master (cluster masters
+    fall back to the host's core count — the submit command sizes those)."""
+    if master.startswith("local[") and master.endswith("]"):
+        inner = master[6:-1]
+        if inner.isdigit():
+            return int(inner)
+    return os.cpu_count() or 8
+
+
 def get_spark(
     app_name: str = "neuronews-spark",
     master: str | None = None,
@@ -55,9 +65,9 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    cores = _local_cores(master)
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", n))
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cores * 4))
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -66,6 +76,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's byte-based coalescing targets IO-bound stages (~64 MB
+        # partitions); the stages feeding CPU-heavy Arrow UDF kernels
+        # (mention extraction, pair scoring) need >= ~3x task slots of
+        # granularity for load balance regardless of bytes — measured:
+        # the 4M-turn extraction stage coalesced to 10 partitions on 8
+        # cores and ran 2.3x slower than at 24 partitions (two ragged
+        # waves vs even packing). minPartitionNum floors the coalescer
+        # without disabling it; the same rule (min = ~3x total executor
+        # cores) applies verbatim on a multi-executor cluster.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores * 3),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
