@@ -5279,14 +5279,18 @@ def oracle_sql() -> dict[str, str]:
         # snapshot diff: md5 fingerprints + change kind over a
         # full-outer key join; unchanged rows filtered on both sides
         "snapshot_diff": """
+            -- fingerprint tagging mirrors tables.snapshot_diff: value ->
+            -- chr(1)||v, NULL -> chr(2) (NULL vs '' is a real change)
             WITH o AS (
-              SELECT doc_id, md5(coalesce(text, '')) AS before_hash
+              SELECT doc_id,
+                     md5(CASE WHEN text IS NULL THEN chr(2)
+                              ELSE chr(1) || text END) AS before_hash
               FROM documents WHERE doc_id % 7 <> 0),
             n AS (
               SELECT doc_id,
-                     md5(coalesce(CASE WHEN doc_id % 11 = 0
-                                       THEN text || ' v2'
-                                       ELSE text END, '')) AS after_hash
+                     md5(CASE WHEN doc_id % 11 = 0 THEN chr(1) || text || ' v2'
+                              WHEN text IS NULL THEN chr(2)
+                              ELSE chr(1) || text END) AS after_hash
               FROM documents WHERE doc_id % 13 <> 0)
             SELECT doc_id,
                    CASE WHEN before_hash IS NULL THEN 'added'

@@ -5,18 +5,26 @@ kg_updater.update_from_document:193).
 
     spark-submit --py-files dist/neuronews_spark.zip \
         jobs/attach_job.py \
-        --store    s3://bucket/er_out/store/ \
+        --store    /warehouse/er_out/store/ \
         --mentions s3://bucket/mentions/2026-08-19/ \
         --output   s3://bucket/er_out/attach/2026-08-19/ \
         --update-store
 
 ``--store`` holds (entity_id, entity_type, norm) — one row per
-registered surface form.  ``--mentions`` holds (mention_id,
+registered surface form; a ``form_key`` column (entity_type:norm,
+the merge key) is derived on first ``--update-store`` run if absent
+and carried thereafter.  ``--mentions`` holds (mention_id,
 entity_type, norm).  With ``--update-store`` the job also registers
 every resolved (form → entity) pair back into the store (the
 distributed ``EntityResolver._register``), so tomorrow's batch can
 match entities founded today.  Store updates key on the form, so
 re-running the same day's job is idempotent on entity assignment.
+
+``--mentions``/``--output`` (and a read-only ``--store``) accept any
+Hadoop-compatible URI; ``--update-store`` additionally requires the
+store to live on a LOCAL filesystem path — the stage-then-swap
+rewrite goes through ``ParquetCatalog`` (os.rename), which has no
+object-store backend here (sources/tables.py:44).
 
 Prints a one-line JSON summary with per-match-kind counts.
 """
@@ -77,16 +85,27 @@ def main(argv: list[str] | None = None) -> None:
     if args.update_store:
         import os
 
-        catalog = ParquetCatalog(spark, os.path.dirname(args.store.rstrip("/")))
+        store_dir = args.store.rstrip("/")
+        catalog = ParquetCatalog(spark, os.path.dirname(store_dir))
+        table = os.path.basename(store_dir)
+        # stores seeded with only the documented 3 columns get the merge
+        # key derived in place on first update (idempotent: stores this
+        # job has already updated carry form_key and skip the rewrite)
+        existing = catalog.read(table)
+        if "form_key" not in existing.columns:
+            catalog.overwrite(
+                table,
+                existing.withColumn(
+                    "form_key", F.concat_ws(":", "entity_type", "norm")
+                ),
+            )
         forms = res.select(
             F.concat_ws(":", "entity_type", "norm").alias("form_key"),
             "entity_id",
             "entity_type",
             "norm",
         )
-        catalog.merge_upsert(
-            os.path.basename(args.store.rstrip("/")), forms, key="form_key"
-        )
+        catalog.merge_upsert(table, forms, key="form_key")
     kinds = {
         r["match_kind"]: r["n"]
         for r in res.groupBy("match_kind").agg(F.count(F.lit(1)).alias("n")).collect()

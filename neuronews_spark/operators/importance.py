@@ -220,12 +220,16 @@ def lm_cross_entropy(
     )
     if head_cutoff is None and tail_cutoff is None:
         return scored
+    # one-sided cutoffs are legal: the missing side's branch is skipped
+    # and those rows fall through to "middle"
     mean = F.col("cost_micro_nats") / F.col("n_tokens")
-    bucket = (
-        F.when(mean < F.lit(float(head_cutoff)), "head")
-        .when(mean > F.lit(float(tail_cutoff)), "tail")
-        .otherwise("middle")
-    )
+    if head_cutoff is not None:
+        bucket = F.when(mean < F.lit(float(head_cutoff)), "head")
+        if tail_cutoff is not None:
+            bucket = bucket.when(mean > F.lit(float(tail_cutoff)), "tail")
+    else:
+        bucket = F.when(mean > F.lit(float(tail_cutoff)), "tail")
+    bucket = bucket.otherwise("middle")
     return scored.select(
         id_col, "n_tokens", "cost_micro_nats", bucket.alias("ppl_bucket")
     )

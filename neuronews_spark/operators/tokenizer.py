@@ -62,8 +62,9 @@ def _symbols(word: Column) -> Column:
     """Initial symbol sequence of a word: its characters + ``</w>``.
     Always ≥ 2 elements, so the adjacent-pair zip below never sees the
     empty/descending ``sequence(1, 0)`` edge case."""
-    chars = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substring(word, i, F.lit(1)),
     )
     return F.concat(chars, F.array(F.lit(_EOW)))
 

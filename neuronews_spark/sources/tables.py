@@ -190,8 +190,10 @@ def snapshot_diff(
     ``compare_cols`` (default: every shared non-key column) are the
     columns whose change makes a row "changed"; comparison is by md5 of
     the '\\x1f'-joined canonical string forms, so the emitted
-    before/after fingerprints are engine-portable and null-safe
-    (NULL → the empty string, distinguishable via the joined layout).
+    before/after fingerprints are engine-portable and null-safe: each
+    value is tagged '\\x01'+string and NULL encodes as '\\x02', so a
+    NULL → '' (or '' → NULL) flip in a compare column is a real change
+    (the tags share no prefix, so no value can collide with the marker).
 
     Returns (key, change, before_hash, after_hash) with change ∈
     added | removed | changed — unchanged rows are NOT emitted (the
@@ -205,12 +207,13 @@ def snapshot_diff(
         ]
 
     def fp(df: DataFrame) -> Column:
-        return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in compare_cols],
+        def tagged(c: str) -> Column:
+            col = F.col(c).cast("string")
+            return F.when(col.isNull(), F.lit("\x02")).otherwise(
+                F.concat(F.lit("\x01"), col)
             )
-        )
+
+        return F.md5(F.concat_ws("\x1f", *[tagged(c) for c in compare_cols]))
 
     o = old.select(F.col(key).alias("_k"), fp(old).alias("before_hash"))
     n = new.select(F.col(key).alias("_k"), fp(new).alias("after_hash"))

@@ -71,6 +71,33 @@ def test_lm_cross_entropy_buckets(spark):
     assert got[2] == "head" and got[3] == "tail"
 
 
+def test_lm_cross_entropy_one_sided_cutoffs(spark):
+    """A single cutoff is legal: the missing side's rows land in
+    'middle' (previously crashed with TypeError(float(None)))."""
+    docs = spark.createDataFrame(TEXTS, ["doc_id", "text", "lang"])
+    exp = _python_costs()
+    cuts = sorted(s / n for n, s in exp.values())
+    head, tail = cuts[1] + 1, cuts[-2] - 1
+
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm_cross_entropy(
+            docs, F.col("lang") == "en", head_cutoff=head
+        ).collect()
+    }
+    for i, (n, s) in exp.items():
+        assert got[i] == ("head" if s / n < head else "middle")
+
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in lm_cross_entropy(
+            docs, F.col("lang") == "en", tail_cutoff=tail
+        ).collect()
+    }
+    for i, (n, s) in exp.items():
+        assert got[i] == ("tail" if s / n > tail else "middle")
+
+
 def _u(seed: int, doc_id) -> float:
     h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
     return int(h[:8], 16) / 2**32

@@ -172,9 +172,11 @@ def test_attach_job_cli_end_to_end(spark, tmp_path):
     store_path = str(tmp_path / "wh" / "store")
     mention_path = str(tmp_path / "mentions")
     out_path = str(tmp_path / "out")
+    # seed with only the DOCUMENTED 3-column schema: the job must derive
+    # the form_key merge key itself on first --update-store
     spark.createDataFrame(
-        [("e:acme", "Organization:acme rockets", "Organization", "acme rockets")],
-        "entity_id string, form_key string, entity_type string, norm string",
+        [("e:acme", "Organization", "acme rockets")],
+        "entity_id string, entity_type string, norm string",
     ).write.parquet(store_path)
     spark.createDataFrame(
         [("m1", "Organization", "acme rockets"),
@@ -500,3 +502,41 @@ def test_day2_incremental_f1_with_embedding_fallback(spark):
     rec = tp / (tp + fn) if tp + fn else 1.0
     f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
     assert f1 >= 0.99, (prec, rec, f1, tp, fp, fn)
+
+
+def test_attach_oracle_corpus_shape_guard(spark):
+    """Guard for the er_attach_increment DuckDB oracle: its SQL person
+    rule only covers surname equality + bare-surname / single-given
+    shapes, while the Spark kernel does greedy injective given-name
+    matching.  The two agree as long as the derived corpus never
+    produces a multi-given-name Person surface (>= 3 tokens) in the
+    store, and the h=1 ' group' perturbation never collides with a
+    store person surname (which would feed a 3-token mention into the
+    person rule).  A corpus/planting change that breaks either fails
+    HERE loudly instead of flaking the driver oracle."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from neuronews_spark.operators.conversations import assemble_conversations
+    from neuronews_spark.operators.mentions import extract_mentions
+
+    t = entrymod.derived_transcripts(spark, "/root/testdata/sf0.001", plant=True)
+    m = extract_mentions(assemble_conversations(t))
+    persons = (
+        m.filter((F.col("entity_type") == "Person") & (F.col("norm") != ""))
+        .select("norm")
+        .distinct()
+    )
+    toks = F.split(F.col("norm"), " ")
+    multi_given = persons.filter(F.size(toks) >= 3).collect()
+    assert multi_given == [], (
+        "multi-given-name person surfaces would diverge from the SQL "
+        f"oracle's positional person rule: {multi_given[:5]}"
+    )
+    group_surname = persons.filter(
+        F.element_at(toks, -1) == "group"
+    ).collect()
+    assert group_surname == [], (
+        "a store person surname 'group' lets the h=1 perturbation "
+        f"enter the person rule with 3 tokens: {group_surname[:5]}"
+    )

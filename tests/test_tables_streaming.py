@@ -350,11 +350,14 @@ def test_snapshot_diff_hand_case(spark):
         r["id"]: (r["change"], r["before_hash"], r["after_hash"])
         for r in snapshot_diff(old, new, "id").collect()
     }
-    h = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
-    # 1 removed, 5 added, 3 changed; 2 unchanged (absent);
-    # 4: NULL -> '' fingerprints equal => absent (documented null form)
+    # fingerprints tag values '\x01'+v and NULL as '\x02', so a
+    # NULL -> '' flip is a REAL change (id 4), not a silent no-op
+    h = lambda s: hashlib.md5(("\x01" + s).encode()).hexdigest()  # noqa: E731
+    h_null = hashlib.md5(b"\x02").hexdigest()
+    # 1 removed, 5 added, 3+4 changed; 2 unchanged (absent)
     assert got == {
         1: ("removed", h("a"), None),
         3: ("changed", h("c"), h("c2")),
+        4: ("changed", h_null, h("")),
         5: ("added", None, h("e")),
     }

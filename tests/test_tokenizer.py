@@ -194,3 +194,15 @@ def test_bpe_encode_matches_python_and_trainer_state(spark):
         sym_state = new_state
     want_total = sum(len(s) * c for s, c in sym_state.items())
     assert sum(v[1] for v in got.values()) == want_total
+
+
+def test_symbols_binds_to_passed_column(spark):
+    """_symbols must build from the Column it is GIVEN, not a column
+    literally named 'word' (previously an F.expr hardcoded the name, so
+    any other caller silently bound wrong or failed to resolve)."""
+    from neuronews_spark.operators.tokenizer import _symbols
+
+    df = spark.createDataFrame(
+        [("abc", "zzzz")], ["token", "word"]
+    ).select(_symbols(F.col("token")).alias("sym"))
+    assert df.collect()[0]["sym"] == ["a", "b", "c", "</w>"]
