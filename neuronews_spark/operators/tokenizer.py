@@ -182,6 +182,110 @@ def bpe_train(
     )
 
 
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    batch_k: int = 64,
+) -> DataFrame:
+    """Parallel-BPE trainer: learn ``n_merges`` merges in rounds of up
+    to ``batch_k`` SYMBOL-DISJOINT merges — the scale path next to
+    :func:`bpe_train`'s exact-sequential loop.
+
+    ``bpe_train`` schedules one Spark job per merge (argmax → fold), a
+    driver-paced sequence that no executor count parallelizes: a 32k
+    vocabulary is 32k+ sequential jobs. This variant selects a BATCH of
+    merges per round from one pair-count aggregation: the top candidates
+    are scanned in the total tie-break order (freq DESC, left, right)
+    and greedily kept while their symbols — left, right, AND the new
+    token left||right — are disjoint from every symbol already kept in
+    the round.  Disjointness makes the batch exact w.r.t. round-start
+    counts (merging (a,b) cannot create, destroy, or overlap an
+    occurrence of a disjoint (c,d)), so all kept merges apply in ONE
+    fold pass over the word table, and 32k merges become ~n_merges /
+    batch_k driver rounds.
+
+    The known, documented deviation from strict-sequential BPE: pairs
+    first CREATED by a merge (e.g. ("ab","c") after (a,b)) only become
+    candidates next round, so merge ORDER can differ from
+    :func:`bpe_train` when such a pair would out-rank the round's later
+    selections.  ``batch_k=1`` degenerates to the sequential algorithm
+    exactly (one pair per round, recount every round). Correctness is
+    pinned differentially: batch_k=1 vs the sequential pure-Python
+    reference, and batch_k>1 vs a pure-Python replica of THIS batched
+    algorithm (tests/test_tokenizer.py).
+
+    Per round: one keyed pair-count shuffle, one bounded driver collect
+    (4*batch_k candidate rows — vocabulary-sized, never data-sized), one
+    JVM fold with an O(batch_k) literal map, one localCheckpoint to keep
+    the plan O(1) deep.
+    """
+    sep = "\x00"  # cannot occur inside a symbol (symbols are word chars)
+    words = (
+        word_counts(docs, text_col)
+        .select(_symbols(F.col("word")).alias("sym"), "freq")
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    step = 0
+    while step < n_merges:
+        pairs = (
+            words.select(
+                "freq", F.explode(_adjacent_pairs(F.col("sym"))).alias("p")
+            )
+            .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        want = min(batch_k, n_merges - step)
+        top = pairs.orderBy(
+            F.desc("pair_freq"), F.asc("left"), F.asc("right")
+        ).limit(max(4 * want, 16)).collect()
+        used: set[str] = set()
+        chosen: list[tuple[str, str, int]] = []
+        for r in top:
+            if r["pair_freq"] < 2:
+                break
+            a, b = r["left"], r["right"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            chosen.append((a, b, r["pair_freq"]))
+            used.update((a, b, a + b))
+            if len(chosen) >= want:
+                break
+        if not chosen:
+            break
+        for a, b, cnt in chosen:
+            step += 1
+            merges.append((step, a, b, cnt))
+        merge_map = F.create_map(
+            *[
+                F.lit(x)
+                for a, b, _ in chosen
+                for x in (a + sep + b, a + b)
+            ]
+        )
+        joined = lambda acc, x: F.concat(F.element_at(acc, -1), F.lit(sep), x)  # noqa: E731
+        words = words.select(
+            F.aggregate(
+                F.col("sym"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & F.element_at(merge_map, joined(acc, x)).isNotNull(),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.element_at(merge_map, joined(acc, x))),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_freq bigint"
+    )
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: DataFrame,
