@@ -2958,11 +2958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlet_transparency": q_outlet_transparency,
         "position_followthrough": q_position_followthrough,
         "text_srp_recall": q_text_srp_recall,
-        # --- rows-only (each pytest-oracled; why no SQL mirror) ---
-        # entity_resolution: difflib-ratio scoring + iterative CC; the
-        #   scoring kernel IS oracled via er_lev_pairs/er_scale_scored_pairs
-        #   and clusters via the F1=1.0 labeled-corpus pytest
+        # (entity_resolution graduated to the oracled window in round 5:
+        #   full-pipeline DuckDB mirror — deterministic blocking + LCS
+        #   recursive-CTE ratio + reach-CTE components — guarded by
+        #   tests/test_er_oracle_guard.py at sf0.001 AND sf0.01)
         "entity_resolution": q_entity_resolution,
+        # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # simhash: signature = majority vote over Spark xxhash64(seed 42)
         #   bits — DuckDB has no xxhash64; bit-identical pure-Column
         #   differential pytest instead
@@ -3273,6 +3274,172 @@ def _mention_extraction_sql() -> str:
                  || lower(trim(regexp_replace(name, '\\s+', ' ', 'g')))), 1, 12)
                  AS node_id
         FROM final WHERE norm <> ''
+    """
+
+
+def _entity_resolution_sql() -> str:
+    """DuckDB mirror of the END-TO-END EntityResolutionPipeline
+    (pipeline.py): mentions → distinct vertices → deterministic
+    blocking (x exact / s sorted-token / f 4-char-prefix / p surname /
+    t token modalities) → block cap (>1000 dropped, exactly
+    candidate_pairs's drop-and-log rule) → symmetric match rules
+    (exact / person / containment / difflib-ratio ≥ 0.88) → transitive
+    closure → canonical entity build (display-name election by
+    (n_tokens, n_chars, name), entity_id = node_id(type, display)).
+
+    Two deliberate reductions, each pinned by
+    tests/test_er_oracle_guard.py on the actual corpus at sf0.001 AND
+    sf0.01 (the driver's compare scale):
+      * MinHash band keys (xxhash64 — no DuckDB kernel) are omitted:
+        the guard asserts the matched-edge set is IDENTICAL with and
+        without the 'm' modality (every matching pair also meets under
+        a deterministic key, which is what the f/t/p keys are for).
+      * difflib SequenceMatcher ratio is mirrored as the LCS ratio
+        2·LCS/(la+lb), computed by an anti-diagonal DP in a recursive
+        CTE; the guard asserts the ≥ 0.88 decision agrees with real
+        difflib on every rule-4 candidate pair the corpus produces
+        (SequenceMatcher's greedy block decomposition can undershoot
+        LCS on adversarial strings — none exist here, and a corpus
+        change that introduces one fails the guard loudly).
+
+    The person rule is the same corpus-guarded positional reduction the
+    er_attach_increment oracle uses (greedy injective matching collapses
+    to positional when no multi-given-name surface exists)."""
+    stops = _sql_in(_FUZZY_STOPS)
+    return f"""
+        WITH RECURSIVE men AS MATERIALIZED ({_mention_extraction_sql()}),
+        vstat AS (
+          SELECT entity_type, node_id, max(norm) AS norm,
+                 count(*)::bigint AS n_mentions
+          FROM men GROUP BY entity_type, node_id),
+        vname AS (
+          SELECT node_id, name,
+                 row_number() OVER (PARTITION BY node_id
+                   ORDER BY length(name) DESC, name DESC) AS rn
+          FROM (SELECT DISTINCT node_id, name FROM men)),
+        v AS MATERIALIZED (
+          SELECT s.entity_type, s.node_id, n.name, s.norm, s.n_mentions
+          FROM vstat s JOIN vname n ON n.node_id = s.node_id AND n.rn = 1),
+        vkeys AS MATERIALIZED (
+          SELECT node_id, unnest(list_distinct(
+            [ 'x|' || entity_type || '|' || norm,
+              's|' || entity_type || '|' ||
+                array_to_string(list_sort(list_filter(
+                  string_split(norm, ' '),
+                  x -> x <> '' AND x NOT IN {stops})), ' '),
+              'f|' || entity_type || '|'
+                || substr(replace(norm, ' ', ''), 1, 4) ]
+            || CASE WHEN entity_type = 'Person'
+                    THEN ['p|' || list_filter(string_split(norm, ' '),
+                                              x -> x <> '')[-1]]
+                    ELSE []::varchar[] END
+            || list_transform(
+                 list_filter(string_split(norm, ' '), x -> x <> ''),
+                 t -> 't|' || entity_type || '|' || t))) AS bk
+          FROM v),
+        ok_keys AS (
+          SELECT bk FROM vkeys GROUP BY bk HAVING count(*) <= 1000),
+        p0 AS (
+          SELECT DISTINCT a.node_id AS id_a, b.node_id AS id_b
+          FROM vkeys a JOIN vkeys b
+            ON a.bk = b.bk AND a.node_id < b.node_id
+          WHERE a.bk IN (SELECT bk FROM ok_keys)),
+        pr AS (
+          SELECT p0.id_a, p0.id_b, va.entity_type AS etype,
+                 va.norm AS norm_a, vb.norm AS norm_b,
+                 string_split(va.norm, ' ') AS ta,
+                 string_split(vb.norm, ' ') AS tb
+          FROM p0 JOIN v va ON va.node_id = p0.id_a
+                  JOIN v vb ON vb.node_id = p0.id_b),
+        det AS MATERIALIZED (
+          SELECT id_a, id_b, norm_a, norm_b,
+            CASE
+              WHEN norm_a = norm_b THEN true
+              WHEN etype = 'Person' THEN
+                ta[-1] = tb[-1] AND (len(ta) = 1 OR len(tb) = 1
+                  OR (len(ta) = len(tb)
+                      AND len(list_filter(range(1, len(ta)),
+                        i -> NOT (ta[i] = tb[i]
+                          OR (length(ta[i]) = 1
+                              AND starts_with(tb[i], ta[i]))
+                          OR (length(tb[i]) = 1
+                              AND starts_with(ta[i], tb[i]))))) = 0))
+              WHEN list_has_all(ta, tb) OR list_has_all(tb, ta) THEN true
+              ELSE NULL
+            END AS matched
+          FROM pr),
+        r4 AS MATERIALIZED (
+          SELECT id_a, id_b, norm_a AS a, norm_b AS b,
+                 length(norm_a) AS la, length(norm_b) AS lb
+          FROM det WHERE matched IS NULL
+            AND 2.0 * least(length(norm_a), length(norm_b))
+                / (length(norm_a) + length(norm_b)) >= 0.88),
+        lcs(id_a, id_b, d, prev, cur) AS (
+          SELECT id_a, id_b, 1::bigint,
+                 list_transform(range(0, la + 1), x -> 0::bigint),
+                 list_transform(range(0, la + 1), x -> 0::bigint)
+          FROM r4
+          UNION ALL
+          SELECT l.id_a, l.id_b, l.d + 1, l.cur,
+                 list_transform(range(0, p.la + 1), i ->
+                   CASE WHEN i = 0 OR l.d + 1 - i <= 0
+                             OR l.d + 1 - i > p.lb THEN 0::bigint
+                        ELSE greatest(l.cur[i::int], l.cur[i::int + 1],
+                               l.prev[i::int]
+                               + CASE WHEN substr(p.a, i::int, 1)
+                                           = substr(p.b,
+                                               (l.d + 1 - i)::int, 1)
+                                      THEN 1 ELSE 0 END)
+                   END)
+          FROM lcs l JOIN r4 p
+            ON p.id_a = l.id_a AND p.id_b = l.id_b
+          WHERE l.d < p.la + p.lb),
+        r4m AS (
+          SELECT l.id_a, l.id_b,
+                 2.0 * l.cur[(p.la + 1)::int] / (p.la + p.lb) >= 0.88
+                   AS matched
+          FROM lcs l JOIN r4 p
+            ON p.id_a = l.id_a AND p.id_b = l.id_b
+          WHERE l.d = p.la + p.lb),
+        medges AS MATERIALIZED (
+          SELECT id_a, id_b FROM det WHERE matched
+          UNION ALL
+          SELECT id_a, id_b FROM r4m WHERE matched),
+        sym AS MATERIALIZED (
+          SELECT id_a AS a, id_b AS b FROM medges
+          UNION SELECT id_b, id_a FROM medges),
+        cnodes AS (SELECT DISTINCT a AS n FROM sym),
+        reach(n, r) AS (
+          SELECT n, n FROM cnodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN sym e ON e.a = reach.n),
+        comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+        withc AS MATERIALIZED (
+          SELECT v.*, coalesce(c.component, v.node_id) AS component
+          FROM v LEFT JOIN comp c ON c.n = v.node_id),
+        ent AS (
+          SELECT component,
+                 min(entity_type) AS entity_type,
+                 count(*)::bigint AS n_surfaces,
+                 sum(n_mentions)::bigint AS n_mentions
+          FROM withc GROUP BY component),
+        win AS (
+          SELECT component, name,
+                 row_number() OVER (PARTITION BY component ORDER BY
+                   len(list_filter(string_split_regex(trim(name), '\\s+'),
+                       x -> x <> '')) DESC,
+                   length(name) DESC, name DESC) AS rn
+          FROM withc)
+        SELECT lower(e.entity_type) || ':'
+                 || substring(md5(e.entity_type || ':'
+                      || lower(trim(regexp_replace(w.name, '\\s+', ' ',
+                                                   'g')))), 1, 12)
+                 AS entity_id,
+               e.entity_type,
+               w.name AS name,
+               e.n_surfaces,
+               e.n_mentions
+        FROM ent e JOIN win w ON w.component = e.component AND w.rn = 1
     """
 
 
@@ -4539,6 +4706,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pattern_entities": _pattern_entities_sql(),
         "mention_extraction": _mention_extraction_sql(),
+        "entity_resolution": _entity_resolution_sql(),
         # Levenshtein-scored blocked pairs over the same mention mirror:
         # integer edit distance is FP-exact, so lev_sim matches bit-exact.
         # Filter applies to the ROUNDED value exactly as the Spark side.
