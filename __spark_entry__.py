@@ -1741,6 +1741,21 @@ def q_event_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_auto_k_events(spark: SparkSession, sf: str) -> DataFrame:
+    # reference k-selection (event_clusterer.py:151-205): silhouette argmax
+    # with min-cluster-size skip; distributed fits + bounded-sample scoring
+    _prep(spark)
+    from neuronews_spark.operators.event_clustering import auto_k_silhouette
+
+    emb = _t(spark, sf, "embeddings")
+    k = auto_k_silhouette(
+        emb, max_clusters=6, min_cluster_size=5, sample_n=500
+    )
+    return spark.createDataFrame(
+        [(k, emb.count())], "chosen_k long, n_vectors long"
+    )
+
+
 def q_pagerank_events(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.graph import pagerank
@@ -2979,6 +2994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans clustering: iterative data-dependent convergence; pytest
         #   with planted clusters
         "event_clusters": q_event_clusters,
+        # auto-k: silhouette argmax over iterative KMeans fits — same
+        #   no-SQL-kernel reason as event_clusters; pinned by the
+        #   reference-kernel mirror in tests/test_auto_k_silhouette.py
+        "auto_k_events": q_auto_k_events,
         "text_srp_near_dups": q_text_srp_near_dups,
         "text_event_clusters": q_text_event_clusters,
         # outlet_clusters: silhouette-selected numpy KMeans/Ward/PCA over

@@ -5,10 +5,17 @@ KMeans with silhouette-selected k → per-cluster summary stats,
 
 The embeddings stay distributed end-to-end: ``array_to_vector`` converts
 the ``array<float>`` column JVM-side (no Python workers), the fit runs
-Spark's parallel Lloyd iterations, and the summary is one groupBy. Model
-selection mirrors the reference's auto-k (``:180-220``) as a small driver
-loop over candidate k values scored by a distributed cost (WSSSE) —
-silhouette on a sample would also work but costs an O(n·k) pass per k.
+Spark's parallel Lloyd iterations, and the summary is one groupBy. Two
+auto-k selectors are provided: ``auto_k`` (WSSSE elbow — one distributed
+cost scalar per candidate, the cheapest possible loop) and
+``auto_k_silhouette`` (the reference's own selection rule,
+``event_clusterer.py:151-205``: argmax mean silhouette over k=2..max_k
+with a min-cluster-size skip). The reference computes silhouette over
+the FULL embedding matrix in driver memory — fine for its hundreds of
+articles, impossible at 100 TB — so here each candidate k is fitted
+distributed and the O(m²) silhouette runs on a bounded deterministic
+sample (hash-ordered, default 2000 rows ⇒ ≤32 MB of pairwise floats),
+which is the standard estimator for silhouette at scale.
 """
 
 from __future__ import annotations
@@ -115,3 +122,98 @@ def auto_k(
         for i in range(1, len(costs))
     ]
     return ks[1 + max(range(len(drops)), key=lambda i: drops[i])]
+
+
+def mean_silhouette(X, labels) -> float:
+    """Mean silhouette coefficient (Rousseeuw) over a point matrix —
+    numpy pairwise-distance kernel, sklearn conventions (a point alone
+    in its cluster scores 0). Driver-side by design: callers bound the
+    row count (``auto_k_silhouette`` samples)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    labels = np.asarray(labels)
+    n = len(X)
+    diff = X[:, None, :] - X[None, :, :]
+    d = np.sqrt((diff * diff).sum(-1))
+    uniq = np.unique(labels)
+    s = np.zeros(n)
+    for i in range(n):
+        same = labels == labels[i]
+        n_same = int(same.sum())
+        if n_same <= 1:
+            continue  # singleton-in-sample: silhouette 0 by convention
+        a = d[i][same].sum() / (n_same - 1)
+        b = min(float(d[i][labels == c].mean()) for c in uniq if c != labels[i])
+        s[i] = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+    return float(s.mean())
+
+
+def auto_k_silhouette(
+    df: DataFrame,
+    max_clusters: int = 10,
+    min_cluster_size: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 17,
+    sample_n: int = 2000,
+    max_iter: int = 10,
+) -> int:
+    """The reference's k-selection rule (event_clusterer.py:151-205):
+    ``max_k = min(max_clusters, n // min_cluster_size)`` (floor 2);
+    for k in 2..max_k fit KMeans, SKIP any k whose smallest cluster is
+    under ``min_cluster_size``, score the rest by mean silhouette, and
+    return the argmax (first maximum, the reference's ``np.argmax``);
+    2 if every k was skipped.
+
+    One deliberate fix vs the reference: when ks are skipped its
+    ``list(k_range)[best_k_idx]`` indexes the *unfiltered* k list with
+    an index into the *filtered* score list (an off-by-skip bug that
+    can only under-report k); here the (k, score) pairs stay aligned.
+
+    Scale shape: every fit is a distributed Spark KMeans over all rows;
+    only the silhouette runs driver-side, over a deterministic
+    hash-ordered sample of ``sample_n`` rows labeled by the fitted
+    centroids — O(sample_n²) memory independent of corpus size.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    ).persist()
+    n = feats.count()
+    max_k = min(max_clusters, n // min_cluster_size)
+    if max_k < 2:
+        feats.unpersist()
+        return 2
+
+    sample_rows = (
+        df.select(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .orderBy("_h", "_v")
+        .limit(sample_n)
+        .collect()
+    )
+    X = np.asarray([r["_v"] for r in sample_rows], dtype=np.float64)
+
+    best_k, best_score = 2, float("-inf")
+    for k in range(2, max_k + 1):
+        model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feats)
+        sizes = model.summary.clusterSizes
+        if min(sizes) < min_cluster_size:
+            continue
+        cents = np.asarray([np.asarray(c) for c in model.clusterCenters()])
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        labels = d2.argmin(axis=1)
+        if len(np.unique(labels)) < 2:
+            continue  # sample collapsed into one cell — silhouette undefined
+        score = mean_silhouette(X, labels)
+        if score > best_score:
+            best_k, best_score = k, score
+    feats.unpersist()
+    return best_k
