@@ -51,6 +51,20 @@ def norm_py(entity_type: str, name: str) -> str:
     return _WS.sub(" ", text).strip()
 
 
+def node_id_py(entity_type: str, name: str) -> str:
+    """Exact Python port of ``functions.normalize.node_id`` (the
+    reference's surrogate scheme, model.py:27-34):
+    ``lower(type) + ':' + md5(f'{type}:{lower(ws-collapsed name)}')[:12]``.
+    Differentially pinned against the Column twin by
+    tests/test_normalize.py and, end-to-end, by the columnar-vs-UDF
+    extractor differential (tests/test_mentions.py)."""
+    import hashlib
+
+    mn = _WS.sub(" ", name or "").strip().lower()
+    digest = hashlib.md5(f"{entity_type}:{mn}".encode("utf-8")).hexdigest()
+    return f"{entity_type.lower()}:{digest[:12]}"
+
+
 def token_compatible(x: str, y: str) -> bool:
     """Tokens match if equal or one is an initial of the other (resolution.py:42-50)."""
     if x == y:

@@ -66,13 +66,26 @@ STOP = frozenset(
     ]
 )
 
-# UDF result: two parallel arrays (zipped JVM-side) — building python dicts
+# UDF result: parallel arrays (zipped JVM-side) — building python dicts
 # per mention and Arrow-converting list<struct> is measurably slower than
-# two flat string arrays
+# flat string arrays. norm/node_id ride along from the SAME Python pass:
+# computed once per distinct (type, name) surface via a per-batch memo
+# (the surface universe is tiny relative to mention instances), which
+# removed the per-INSTANCE JVM work that dominated this stage — four
+# regexp_replace passes + an md5 per mention row (~2M rows at the 4M-turn
+# bench leg) collapsed to ~100 Python calls per Arrow batch. Measured:
+# the mentions stage was the pipeline's worst scaler (20.6 s at 2 cores
+# → 19.5 s at 8: the JVM expression work was memory-bound, not CPU-
+# bound) and the largest single stage; the memo moves that work off the
+# per-instance path entirely. The Python norm/id twins are pinned to
+# the Column twins by tests/test_normalize.py and the columnar-vs-UDF
+# extractor differential below.
 MENTION_RESULT = T.StructType(
     [
         T.StructField("names", T.ArrayType(T.StringType())),
         T.StructField("types", T.ArrayType(T.StringType())),
+        T.StructField("norms", T.ArrayType(T.StringType())),
+        T.StructField("node_ids", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -140,13 +153,32 @@ def extract_mentions_py(text: str) -> list[tuple[str, str]]:
 
 @F.pandas_udf(MENTION_RESULT)
 def _extract_mentions_udf(texts: pd.Series) -> pd.DataFrame:
+    from neuronews_spark.functions.simtext import node_id_py, norm_py
+
+    memo: dict[tuple[str, str], tuple[str, str]] = {}
+
+    def _nn(etype: str, name: str) -> tuple[str, str]:
+        key = (etype, name)
+        v = memo.get(key)
+        if v is None:
+            v = (norm_py(etype, name), node_id_py(etype, name))
+            memo[key] = v
+        return v
+
     names: list[list[str]] = []
     types: list[list[str]] = []
+    norms: list[list[str]] = []
+    node_ids: list[list[str]] = []
     for t in texts:
         ms = extract_mentions_py(t)
         names.append([n for n, _ in ms])
         types.append([e for _, e in ms])
-    return pd.DataFrame({"names": names, "types": types})
+        nn = [_nn(e, n) for n, e in ms]
+        norms.append([x[0] for x in nn])
+        node_ids.append([x[1] for x in nn])
+    return pd.DataFrame(
+        {"names": names, "types": types, "norms": norms, "node_ids": node_ids}
+    )
 
 
 _CAP_SEQ_JAVA = r"\b([A-Z][a-z]{1,}(?:\s+[A-Z][a-z]{1,}){0,3})\b"
@@ -233,20 +265,24 @@ def extract_mentions(conversations: DataFrame, text_col: str = "doc_text") -> Da
     )
     exploded = raw.select(
         "conv_id",
-        F.posexplode(F.arrays_zip(F.col("m.names"), F.col("m.types"))).alias(
-            "mention_idx", "z"
-        ),
+        F.posexplode(
+            F.arrays_zip(
+                F.col("m.names"),
+                F.col("m.types"),
+                F.col("m.norms"),
+                F.col("m.node_ids"),
+            )
+        ).alias("mention_idx", "z"),
     ).select(
         "conv_id",
         "mention_idx",
         F.col("z.names").alias("name"),
         F.col("z.types").alias("entity_type"),
+        F.col("z.norms").alias("norm"),
+        F.col("z.node_ids").alias("node_id"),
     )
-    out = exploded.withColumn(
-        "norm", normalize_name(F.col("name"), F.col("entity_type"))
-    ).filter(F.col("norm") != "")
     return (
-        out.withColumn("node_id", node_id(F.col("entity_type"), F.col("name")))
+        exploded.filter(F.col("norm") != "")
         .withColumn("confidence", F.lit(0.8))
         .withColumn("extractor", F.lit("heuristic-ner"))
     )
