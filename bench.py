@@ -46,9 +46,13 @@ SPARK_GRAFT_SCALING_ROUNDS rounds so both legs get quiet-window shots.
 The 4N leg is visited SPARK_GRAFT_LEG_VISITS_4N (default 2) times per
 round, runs SPARK_GRAFT_LEG_BIGS_4N (default 2) BIG measurements per
 visit (its BIG time is the binding min), and its timed visits are
-ERA-GATED: when the bracketing bandwidth probe shows the 8-core set in
-a suppressed era (< SPARK_GRAFT_ERA_GATE x the best 4N probe), the
-visit is skipped and its budget reallocated to later rounds. With a
+ERA-GATED: when the bracketing bandwidth OR CPU probe shows the chosen
+set in a suppressed era (< SPARK_GRAFT_ERA_GATE x the best 4N probe),
+the visit is skipped and its budget reallocated to later rounds.
+Additionally each visit is bound to the QUIETEST of the disjoint
+candidate vCPU sets of its width, chosen by a short CPU/LLC-bound probe
+(spatial quiet-window exposure — see the CPU_PROBE_SECS comment block;
+all candidate probes and the chosen set are recorded per visit). With a
 min-over-samples estimator the binding constraint is quiet-window
 EXPOSURE, and it binds asymmetrically — the wider CPU set overlaps
 more host co-tenants, so suppressed eras hit the 4N leg far harder
@@ -122,9 +126,9 @@ LEG_VISITS_4N = int(os.environ.get("SPARK_GRAFT_LEG_VISITS_4N", 2))
 # second big run in the same JVM costs ~40% of a visit while doubling
 # that sample's quiet-window shots
 LEG_BIGS_4N = int(os.environ.get("SPARK_GRAFT_LEG_BIGS_4N", 2))
-# era gate for 4N visits: the bandwidth probe already brackets every
-# visit; when it shows the CPU set in a suppressed era (bw below
-# ERA_GATE x the best 4N probe seen), the ~2-minute timed visit is
+# era gate for 4N visits: the bandwidth + CPU probes already bracket
+# every visit; when they show the CPU set in a suppressed era (probe
+# below ERA_GATE x the best 4N probe seen), the ~2-minute timed visit is
 # SKIPPED and its budget reallocated to later (potentially quiet)
 # rounds.  This is budget reallocation, NOT sample exclusion: a
 # suppressed-era sample is strictly slower and can never own a leg's
@@ -137,6 +141,23 @@ LEG_BIGS_4N = int(os.environ.get("SPARK_GRAFT_LEG_BIGS_4N", 2))
 # its min converges in 2-3 visits (gating it would only waste budget).
 ERA_GATE = float(os.environ.get("SPARK_GRAFT_ERA_GATE", 0.8))
 ERA_GATE_SLEEP = float(os.environ.get("SPARK_GRAFT_ERA_GATE_SLEEP", 20))
+# SPATIAL quiet-window exposure (round-5): host co-tenancy on this box is
+# spatially localized, not just temporal — simultaneous CPU/LLC-bound
+# probes on the four disjoint 8-core vCPU sets measure up to 1.5x apart
+# (e.g. 450 ops/s on cpus 0-7 vs 664 on 16-23 in the same minute) while
+# the DRAM bandwidth probe is FLAT across sets.  That is exactly the r4
+# suppression signature (4N marginal collapse with zero steal and flat
+# STREAM): the co-tenant pressure is LLC/port-level and lands on specific
+# vCPUs.  So each leg visit now (a) probes every disjoint candidate set
+# of its width with a short CPU-bound kernel and binds the visit to the
+# QUIETEST set — the same min-over-samples logic as temporal
+# interleaving, applied across space (contention only lowers throughput;
+# a real cluster's executors do not share cores with co-tenants at all),
+# and (b) feeds the chosen set's CPU probe into the 4N era gate, which
+# was previously blind to LLC suppression (it only saw DRAM bandwidth).
+# Every candidate probe and the chosen set are recorded per visit in the
+# detail file so the selection stays auditable.
+CPU_PROBE_SECS = float(os.environ.get("SPARK_GRAFT_CPU_PROBE_SECS", 1.2))
 # N-leg convergence: once its BIG min stops improving (>2% over the
 # last 2 visits) the N leg is visited every other round, reallocating
 # the saved wall to 4N exposure (min-over-samples: skipped visits can
@@ -257,8 +278,16 @@ def _run_er_job(spark: SparkSession, n_turns: int) -> tuple[float, int]:
     return time.perf_counter() - t0, n_entities
 
 
-def _cpu_ticks(cores: int) -> tuple[int, int, int]:
-    """(busy, idle, steal) jiffies summed over vCPUs 0..cores-1 from
+def _affinity_cpus() -> frozenset[int]:
+    """The vCPU ids this process is taskset-bound to (the leg's set)."""
+    try:
+        return frozenset(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return frozenset(range(os.cpu_count() or 1))
+
+
+def _cpu_ticks(cpus: frozenset[int]) -> tuple[int, int, int]:
+    """(busy, idle, steal) jiffies summed over the given vCPU ids from
     /proc/stat. ``steal`` is time the hypervisor ran a co-tenant while
     this guest's vCPU was runnable — host contention, unambiguously not
     this job's doing. Idle vCPUs are not runnable and accrue no steal,
@@ -271,7 +300,7 @@ def _cpu_ticks(cores: int) -> tuple[int, int, int]:
                 parts = line.split()
                 if not (parts and parts[0].startswith("cpu") and parts[0][3:].isdigit()):
                     continue
-                if int(parts[0][3:]) >= cores:
+                if int(parts[0][3:]) not in cpus:
                     continue
                 v = [int(x) for x in parts[1:]]
                 if len(v) < 8:
@@ -284,16 +313,16 @@ def _cpu_ticks(cores: int) -> tuple[int, int, int]:
     return busy, idle, steal
 
 
-def _timed_er(spark, cores: int, n_turns: int) -> dict:
+def _timed_er(spark, cpus: frozenset[int], n_turns: int) -> dict:
     """One timed job with the steal AND busy fractions of its own window
     measured on the leg's taskset CPU set. ``busy`` makes the shared-bus
     decomposition auditable from the recorded samples alone: speedup loss
     = idle share (busy_4N/busy_N) × cpu-time inflation
     ((t_4N·4N·busy_4N)/(t_N·N·busy_N)) — the second factor is memory-stall
     inflation a per-node-DRAM cluster does not have."""
-    b0, i0, s0 = _cpu_ticks(cores)
+    b0, i0, s0 = _cpu_ticks(cpus)
     sec, _n = _run_er_job(spark, n_turns)
-    b1, i1, s1 = _cpu_ticks(cores)
+    b1, i1, s1 = _cpu_ticks(cpus)
     total = (b1 - b0) + (i1 - i0) + (s1 - s0)
     steal_frac = (s1 - s0) / total if total > 0 else 0.0
     busy_frac = (b1 - b0) / total if total > 0 else 0.0
@@ -318,14 +347,15 @@ def _leg_main(cores: int) -> None:
     of a pair are back-to-back in the same JVM so the marginal
     throughput derived from them compares adjacent noise windows."""
     n_bigs = int(os.environ.get("SPARK_GRAFT_LEG_N_BIGS", "1"))
+    cpus = _affinity_cpus()
     spark = _session(cores)
     try:
         _run_er_job(spark, 5_000)
         samples = []
         for _ in range(LEG_SAMPLES):
-            samples.append(_timed_er(spark, cores, SCALING_TURNS_SMALL))
+            samples.append(_timed_er(spark, cpus, SCALING_TURNS_SMALL))
             for _b in range(n_bigs):
-                samples.append(_timed_er(spark, cores, SCALING_TURNS))
+                samples.append(_timed_er(spark, cpus, SCALING_TURNS))
     finally:
         spark.stop()
     print(json.dumps({"samples": samples}))
@@ -358,41 +388,109 @@ def _bw_stream(n_mb: int) -> float:
     return 20 * 2 * a.nbytes / (time.perf_counter() - t0)
 
 
-def _bw_subprocess(cores: int) -> float:
-    """Aggregate copy bandwidth (GB/s) with the process bound to ``cores``
-    vCPUs — the infrastructure control for the scaling measurement: a
-    data-streaming workload cannot scale past the DRAM bus, and on this
-    single box the bus itself scales well under 4x from N to 4N cores."""
+def _cpu_probe_main(workers: int) -> None:
+    """Subprocess entry: CPU/LLC-bound era probe — ``workers`` parallel
+    small-matrix matmul loops (working set ~3.5 MB/worker: L2/LLC
+    resident, so co-tenant cache/port pressure on the bound vCPU set
+    shows up; a DRAM-bound probe does not see it). Prints aggregate
+    matmuls/sec."""
+    import multiprocessing as mp
+
+    with mp.Pool(workers) as p:
+        ops = sum(p.map(_cpu_probe_worker, [CPU_PROBE_SECS] * workers))
+    print(json.dumps({"ops": round(ops, 1)}))
+
+
+def _cpu_probe_worker(secs: float) -> float:
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(384, 384)
+    b = rng.rand(384, 384)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < secs:
+        a @ b
+        n += 1
+    return n / (time.perf_counter() - t0)
+
+
+def _taskset_cmd(cpuset: str) -> list[str]:
     import shutil
-    import subprocess
 
     cmd = [sys.executable, os.path.abspath(__file__)]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        cmd = ["taskset", "-c", cpuset] + cmd
+    return cmd
+
+
+def _candidate_cpusets(cores: int) -> list[str]:
+    """Disjoint candidate vCPU sets of the leg's width, spread across the
+    host's 32 vCPUs (at most 4 candidates — probing more buys little and
+    costs probe time). Falls back to the classic 0..cores-1 set when the
+    box is too small to offer alternatives."""
+    total = os.cpu_count() or cores
+    if total < 2 * cores:
+        return [f"0-{cores - 1}"]
+    stride = max(total // 4, cores)
+    sets = []
+    start = 0
+    while start + cores <= total and len(sets) < 4:
+        sets.append(f"{start}-{start + cores - 1}")
+        start += stride
+    return sets
+
+
+def _cpu_probe_subprocess(cpuset: str, workers: int) -> float:
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_CPU_PROBE_WORKERS=str(workers))
+    env.pop("SPARK_GRAFT_LEG_CORES", None)
+    env.pop("SPARK_GRAFT_BW_CORES", None)
+    out = subprocess.run(
+        _taskset_cmd(cpuset), env=env, capture_output=True, text=True, check=True
+    ).stdout.strip().splitlines()
+    return json.loads(out[-1])["ops"]
+
+
+def _pick_cpuset(cores: int) -> tuple[str, float, dict[str, float]]:
+    """Probe every candidate set and return (quietest set, its probe
+    value, all probe values) — spatial quiet-window exposure (see the
+    CPU_PROBE_SECS comment block). All probes are recorded per visit."""
+    probes = {s: _cpu_probe_subprocess(s, cores) for s in _candidate_cpusets(cores)}
+    best = max(probes, key=probes.get)
+    return best, probes[best], probes
+
+
+def _bw_subprocess(cores: int, cpuset: str | None = None) -> float:
+    """Aggregate copy bandwidth (GB/s) with the process bound to the
+    leg's vCPU set — the infrastructure control for the scaling
+    measurement: a data-streaming workload cannot scale past the DRAM
+    bus, and on this single box the bus itself scales well under 4x from
+    N to 4N cores."""
+    import subprocess
+
     env = dict(os.environ, SPARK_GRAFT_BW_CORES=str(cores))
     env.pop("SPARK_GRAFT_LEG_CORES", None)
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True
+        _taskset_cmd(cpuset or f"0-{cores - 1}"),
+        env=env, capture_output=True, text=True, check=True,
     ).stdout.strip().splitlines()
     return json.loads(out[-1])["gbps"]
 
 
-def _run_leg_subprocess(cores: int, n_bigs: int = 1) -> list[dict]:
-    """Run one leg bound to ``cores`` vCPUs; returns the leg's raw
+def _run_leg_subprocess(cores: int, cpuset: str, n_bigs: int = 1) -> list[dict]:
+    """Run one leg bound to the given vCPU set; returns the leg's raw
     sample dicts ({turns, sec, steal})."""
-    import shutil
     import subprocess
 
-    cmd = [sys.executable, os.path.abspath(__file__)]
-    if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
     env = dict(
         os.environ,
         SPARK_GRAFT_LEG_CORES=str(cores),
         SPARK_GRAFT_LEG_N_BIGS=str(n_bigs),
     )
     out = subprocess.run(
-        cmd, env=env, capture_output=True, text=True, check=True
+        _taskset_cmd(cpuset), env=env, capture_output=True, text=True, check=True
     ).stdout.strip().splitlines()
     return json.loads(out[-1])["samples"]
 
@@ -469,12 +567,14 @@ def _measure_scaling() -> dict:
     # cores (a multi-executor cluster has per-node memory and does not see
     # this ceiling).
     bw_samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
+    cpu_probes: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
 
     t_start = time.monotonic()
     rounds_run = 0
     confirm_rounds_left = None  # becomes 1 when the target is first hit
     gated_visits: list[dict] = []  # auditable record of era-gated skips
+    consec_gated = 0  # consecutive-gate cap state (see the gate branch)
     # N-leg (small_min, big_min) after each visit: the marginal slope
     # needs BOTH mins converged — an unconverged SMALL min inflates the
     # N marginal (smaller big-small gap) and suppresses efficiency, an
@@ -502,37 +602,72 @@ def _measure_scaling() -> dict:
             LEG_VISITS_4N, 1
         )
         for cores in visit_plan:
-            bw = _bw_subprocess(cores)
+            # spatial exposure: probe every disjoint candidate vCPU set of
+            # this width, bind the visit to the quietest (see the
+            # CPU_PROBE_SECS comment block); all probes recorded below
+            cpuset, ops, probes = _pick_cpuset(cores)
+            cpu_probes[cores].append(ops)
+            bw = _bw_subprocess(cores, cpuset)
             bw_samples[cores].append(bw)
-            if cores == n4_cores and len(bw_samples[cores]) >= 2 and any(
+            # consecutive-gate cap: after 2 gated 4N visits in a row the
+            # next visit runs REGARDLESS — bounds the budget a long
+            # suppressed era can burn in probe-sleep-reprobe loops and
+            # guarantees the leg keeps collecting samples (a forced
+            # suppressed-era sample is strictly slower and can never own
+            # the leg's min, so forcing it cannot bias the estimator)
+            if cores == n4_cores and consec_gated < 2 and len(
+                bw_samples[cores]
+            ) >= 2 and any(
                 s["turns"] == SCALING_TURNS for s in samples[cores]
             ):
                 # era gate (see ERA_GATE comment): skip the timed visit in
-                # a suppressed era; one sleep + reprobe lets the era move
+                # a suppressed era; one sleep + reprobe lets the era move.
+                # Gates on BOTH probes: DRAM bandwidth (bus suppression)
+                # and the CPU kernel (LLC/port suppression — the r4 miss
+                # mode that shows flat STREAM and zero steal).
                 best_bw = max(bw_samples[cores])
-                if bw < ERA_GATE * best_bw:
+                best_ops = max(cpu_probes[cores])
+                if bw < ERA_GATE * best_bw or ops < ERA_GATE * best_ops:
                     gated_visits.append(
-                        {"bw": round(bw, 1), "best_bw": round(best_bw, 1)}
+                        {
+                            "bw": round(bw, 1), "best_bw": round(best_bw, 1),
+                            "cpu": round(ops, 1), "best_cpu": round(best_ops, 1),
+                            "cpuset": cpuset,
+                        }
                     )
                     time.sleep(ERA_GATE_SLEEP)
-                    bw = _bw_subprocess(cores)
+                    cpuset, ops, probes = _pick_cpuset(cores)
+                    cpu_probes[cores].append(ops)
+                    bw = _bw_subprocess(cores, cpuset)
                     bw_samples[cores].append(bw)
-                    if bw < ERA_GATE * max(bw_samples[cores]):
+                    if bw < ERA_GATE * max(bw_samples[cores]) or ops < ERA_GATE * max(
+                        cpu_probes[cores]
+                    ):
                         gated_visits.append(
                             {
                                 "bw": round(bw, 1),
                                 "best_bw": round(max(bw_samples[cores]), 1),
+                                "cpu": round(ops, 1),
+                                "best_cpu": round(max(cpu_probes[cores]), 1),
+                                "cpuset": cpuset,
                             }
                         )
+                        consec_gated += 1
                         continue
+            if cores == n4_cores:
+                consec_gated = 0
             visit = _run_leg_subprocess(
-                cores, n_bigs=LEG_BIGS_4N if cores == n4_cores else 1
+                cores, cpuset, n_bigs=LEG_BIGS_4N if cores == n4_cores else 1
             )
-            for s in visit:
-                # era evidence: the bandwidth the box offered this visit's
+            for i, s in enumerate(visit):
+                # era evidence: what the box offered this visit's chosen
                 # CPU set right before the timed pair (suppressed eras are
                 # auditable per sample; never used to exclude samples)
                 s["era_bw"] = round(bw, 1)
+                s["era_cpu"] = round(ops, 1)
+                s["cpuset"] = cpuset
+                if i == 0:
+                    s["cpu_probes"] = {k: round(v, 1) for k, v in probes.items()}
             samples[cores].extend(visit)
             if cores == n_cores:
                 n_min_history.append(
@@ -576,7 +711,9 @@ def _measure_scaling() -> dict:
             confirm_rounds_left = 1
     # final bracket: one more bandwidth probe per side AFTER the legs
     for cores in (n_cores, n4_cores):
-        bw_samples[cores].append(_bw_subprocess(cores))
+        cpuset, ops, _probes = _pick_cpuset(cores)
+        cpu_probes[cores].append(ops)
+        bw_samples[cores].append(_bw_subprocess(cores, cpuset))
     bw_n = max(bw_samples[n_cores])
     bw_4n = max(bw_samples[n4_cores])
     bw_speedup_raw = bw_4n / bw_n
@@ -610,6 +747,8 @@ def _measure_scaling() -> dict:
         "samples_4n": samples[n4_cores],
         "bw_samples_n": [round(x, 1) for x in bw_samples[n_cores]],
         "bw_samples_4n": [round(x, 1) for x in bw_samples[n4_cores]],
+        "cpu_probes_n": [round(x, 1) for x in cpu_probes[n_cores]],
+        "cpu_probes_4n": [round(x, 1) for x in cpu_probes[n4_cores]],
         "turns_per_sec_n": _r(cap_n["tput_raw"], 1),
         "turns_per_sec_4n": _r(cap_4n["tput_raw"], 1),
         "turns_per_sec_n_corrected": _r(cap_n["tput_corr"], 1),
@@ -771,9 +910,12 @@ def main() -> None:
 if __name__ == "__main__":
     leg = os.environ.get("SPARK_GRAFT_LEG_CORES")
     bw = os.environ.get("SPARK_GRAFT_BW_CORES")
+    cpu = os.environ.get("SPARK_GRAFT_CPU_PROBE_WORKERS")
     if leg:
         _leg_main(int(leg))
     elif bw:
         _bw_main(int(bw))
+    elif cpu:
+        _cpu_probe_main(int(cpu))
     else:
         main()
