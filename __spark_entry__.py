@@ -440,6 +440,60 @@ def q_assemble_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return assemble_conversations(t).select("conv_id", "doc_text", "n_turns")
 
 
+_FIXTURE_DIR = os.path.join(_REPO, "tests", "fixtures")
+
+_SCRAPED_DOC_SCHEMA = (
+    "doc_id INT, url STRING, title STRING, source STRING, "
+    "published_at STRING, text STRING"
+)
+
+
+def q_file_batch_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch file ingestion (reference `batch_write_raw_with_lineage.py:88-114`):
+    the same scraped-document batch read from a CSV and a JSON-Lines file
+    through the format-detection ladder, stamped with processing metadata,
+    empty bodies quarantined.  The committed fixtures are deterministic
+    (scripts/make_file_fixtures.py) so the DuckDB oracle reads the SAME
+    files.  Explicit schema on both reads: at 100 TB schema inference is a
+    full extra input pass (a second scan of every byte), so the fast path
+    passes `schema=` — inference stays available for ad-hoc loads only."""
+    _prep(spark)
+    from neuronews_spark.sources.files import read_batch, with_batch_metadata
+
+    # escape='"' pins RFC-4180 quote doubling (the fixture's dialect and
+    # DuckDB's default); Spark's own default escape is backslash
+    csv_df = read_batch(
+        spark,
+        os.path.join(_FIXTURE_DIR, "scraped_docs.csv"),
+        schema=_SCRAPED_DOC_SCHEMA,
+        escape='"',
+    ).withColumn("src_format", F.lit("csv"))
+    json_df = read_batch(
+        spark,
+        os.path.join(_FIXTURE_DIR, "scraped_docs.json"),
+        schema=_SCRAPED_DOC_SCHEMA,
+    ).withColumn("src_format", F.lit("json"))
+    df = with_batch_metadata(
+        csv_df.unionByName(json_df), job_name="fixture_batch"
+    )
+    return (
+        df.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "src_format",
+            "url",
+            "title",
+            "source",
+            "published_at",
+            F.length("text").alias("text_len"),
+            F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
+            "processing_job",
+            "lineage_enabled",
+        )
+        .orderBy("doc_id", "src_format")
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
     _prep(spark)
     from neuronews_spark.operators.text_stats import tfidf_top_keywords
@@ -2876,7 +2930,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_attach_increment": q_er_attach_increment,
         "dup_clusters": q_dup_clusters,
         "am_claims_dataset": q_am_claims_dataset,
-        "dedup_docs": q_dedup_docs,
+        # file_batch_docs: batch file-ingestion family's window rep (CSV +
+        # JSON-Lines read through the detection ladder against committed
+        # fixtures; DuckDB oracle reads the same files). dedup_docs → 51+,
+        # exact-dedup stays repped by exact_dup_groups/dup_clusters.
+        "file_batch_docs": q_file_batch_docs,
         "cosine_top5": q_cosine_top5,
         # bpe_top_pairs: tokenizer-training family's window rep
         # (embedding-cosine near-dup stays repped by semdedup/cosine_top5;
@@ -2912,12 +2970,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "policy_positions": q_policy_positions,
         "er_lev_pairs": q_er_lev_pairs,
         "srp_recall": q_srp_recall,
-        "ivf_topk": q_ivf_topk,
         "ivf_recall": q_ivf_recall,
         "pagerank_events": q_pagerank_events,
         "centrality_stats": q_centrality_stats,
+        # entity_resolution: the north-star end-to-end composite, oracled
+        # in round 5 (full-pipeline DuckDB mirror — deterministic blocking
+        # + LCS recursive-CTE ratio + reach-CTE components — guarded by
+        # tests/test_er_oracle_guard.py at sf0.001 AND sf0.01). In-window
+        # so the driver records it; ivf_topk → 51+ (IVF family stays
+        # repped by ivf_recall, which exercises the same top-k kernel).
+        "entity_resolution": q_entity_resolution,
         # --- position 51+: oracled, family already represented above ---
         "approx_quantile_gate": q_approx_quantile_gate,
+        "dedup_docs": q_dedup_docs,
+        "ivf_topk": q_ivf_topk,
         "vocab_kl_drift": q_vocab_kl_drift,
         "conversation_stats": q_conversation_stats,
         "snapshot_diff": q_snapshot_diff,
@@ -2973,11 +3039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlet_transparency": q_outlet_transparency,
         "position_followthrough": q_position_followthrough,
         "text_srp_recall": q_text_srp_recall,
-        # (entity_resolution graduated to the oracled window in round 5:
-        #   full-pipeline DuckDB mirror — deterministic blocking + LCS
-        #   recursive-CTE ratio + reach-CTE components — guarded by
-        #   tests/test_er_oracle_guard.py at sf0.001 AND sf0.01)
-        "entity_resolution": q_entity_resolution,
         # --- rows-only (each pytest-oracled; why no SQL mirror) ---
         # simhash: signature = majority vote over Spark xxhash64(seed 42)
         #   bits — DuckDB has no xxhash64; bit-identical pure-Column
@@ -4726,6 +4787,35 @@ def oracle_sql() -> dict[str, str]:
         "pattern_entities": _pattern_entities_sql(),
         "mention_extraction": _mention_extraction_sql(),
         "entity_resolution": _entity_resolution_sql(),
+        # batch file ingestion: DuckDB reads the SAME committed fixtures
+        # the Spark query loads through sources/files.read_batch
+        "file_batch_docs": f"""
+            WITH cols AS (SELECT 1),
+            c AS (
+              SELECT *, 'csv' AS src_format
+              FROM read_csv('{_FIXTURE_DIR}/scraped_docs.csv', header=true,
+                columns={{'doc_id': 'INTEGER', 'url': 'VARCHAR',
+                          'title': 'VARCHAR', 'source': 'VARCHAR',
+                          'published_at': 'VARCHAR', 'text': 'VARCHAR'}})
+            ),
+            j AS (
+              SELECT *, 'json' AS src_format
+              FROM read_json('{_FIXTURE_DIR}/scraped_docs.json',
+                format='newline_delimited',
+                columns={{'doc_id': 'INTEGER', 'url': 'VARCHAR',
+                          'title': 'VARCHAR', 'source': 'VARCHAR',
+                          'published_at': 'VARCHAR', 'text': 'VARCHAR'}})
+            ),
+            u AS (SELECT * FROM c UNION ALL SELECT * FROM j)
+            SELECT doc_id, src_format, url, title, source, published_at,
+                   length(text) AS text_len,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+                   'fixture_batch' AS processing_job,
+                   true AS lineage_enabled
+            FROM u
+            WHERE length(text) > 0
+            ORDER BY doc_id, src_format
+        """,
         # Levenshtein-scored blocked pairs over the same mention mirror:
         # integer edit distance is FP-exact, so lev_sim matches bit-exact.
         # Filter applies to the ROUNDED value exactly as the Spark side.

@@ -4,6 +4,8 @@ lossless scalar round-trips, explicit-schema reads, metadata stamp."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -88,3 +90,23 @@ def test_with_batch_metadata_stamp(spark):
         F.min("processing_job").alias("j"), F.min("lineage_enabled").alias("e")
     ).collect()[0]
     assert r["j"] == "BatchWriteRawWithLineage" and r["e"] is True
+
+
+def test_committed_fixtures_are_regeneration_stable(tmp_path, monkeypatch):
+    """The file_batch_docs oracle reads the committed fixture files, so
+    regenerating them must be byte-identical — a drifting generator would
+    silently decouple the Spark query from its DuckDB mirror."""
+    import scripts.make_file_fixtures as gen
+
+    monkeypatch.setattr(gen, "FIXDIR", str(tmp_path))
+    gen.main()
+    repo_fix = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests",
+        "fixtures",
+    )
+    for name in ("scraped_docs.csv", "scraped_docs.json"):
+        with open(os.path.join(tmp_path, name), "rb") as a, open(
+            os.path.join(repo_fix, name), "rb"
+        ) as b:
+            assert a.read() == b.read(), name
