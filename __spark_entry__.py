@@ -2928,6 +2928,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window rep (keywords_top10 → 51+, text-stats stays repped by
         # doc_quality/ner_preprocess)
         "er_attach_increment": q_er_attach_increment,
+        # entity_resolution: the north-star end-to-end composite, oracled
+        # in round 5 (full-pipeline DuckDB mirror — deterministic blocking
+        # + LCS recursive-CTE ratio + reach-CTE components — guarded by
+        # tests/test_er_oracle_guard.py at sf0.001 AND sf0.01). Placed
+        # high in the window: the driver's verify budget empirically cuts
+        # near entry 50, and this is the round's most important recorded
+        # artifact; ivf_topk → 51+ (IVF family stays repped by
+        # ivf_recall, which exercises the same top-k kernel).
+        "entity_resolution": q_entity_resolution,
         "dup_clusters": q_dup_clusters,
         "am_claims_dataset": q_am_claims_dataset,
         # file_batch_docs: batch file-ingestion family's window rep (CSV +
@@ -2973,13 +2982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "pagerank_events": q_pagerank_events,
         "centrality_stats": q_centrality_stats,
-        # entity_resolution: the north-star end-to-end composite, oracled
-        # in round 5 (full-pipeline DuckDB mirror — deterministic blocking
-        # + LCS recursive-CTE ratio + reach-CTE components — guarded by
-        # tests/test_er_oracle_guard.py at sf0.001 AND sf0.01). In-window
-        # so the driver records it; ivf_topk → 51+ (IVF family stays
-        # repped by ivf_recall, which exercises the same top-k kernel).
-        "entity_resolution": q_entity_resolution,
         # --- position 51+: oracled, family already represented above ---
         "approx_quantile_gate": q_approx_quantile_gate,
         "dedup_docs": q_dedup_docs,
