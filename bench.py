@@ -119,8 +119,12 @@ SCALING_MIN_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_MIN_ROUNDS", 3))
 SCALING_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_BUDGET", 2700))
 LEG_SAMPLES = int(os.environ.get("SPARK_GRAFT_LEG_SAMPLES", 1))
 # 4N visits per round (module docstring: exposure, not filtering, is the
-# honest lever against asymmetric era suppression of the wide leg)
-LEG_VISITS_4N = int(os.environ.get("SPARK_GRAFT_LEG_VISITS_4N", 2))
+# honest lever against asymmetric era suppression of the wide leg).
+# 3 as of round-5 run2 analysis: each visit carries its own cpuset
+# selection + era probe, and consecutive ~2-minute visits land in
+# adjacent host eras, so a third visit buys one more distinct era per
+# round — the r5-run2 miss (0.767) was one sub-29s big window short.
+LEG_VISITS_4N = int(os.environ.get("SPARK_GRAFT_LEG_VISITS_4N", 3))
 # extra BIG runs per 4N visit: with a min-over-samples estimator the 4N
 # leg's BIG time is the binding sample (its small converges fast), and a
 # second big run in the same JVM costs ~40% of a visit while doubling
@@ -139,7 +143,13 @@ LEG_BIGS_4N = int(os.environ.get("SPARK_GRAFT_LEG_BIGS_4N", 2))
 # skip one ERA_GATE_SLEEP + reprobe gives the era a chance to move.
 # The N leg is never gated: its narrow CPU set shows stable probes and
 # its min converges in 2-3 visits (gating it would only waste budget).
-ERA_GATE = float(os.environ.get("SPARK_GRAFT_ERA_GATE", 0.8))
+# 0.85 as of round-5 run2 analysis: that run's two slowest 4N visits ran
+# at cpu probes 0.79-0.81x the best (the 0.8 gate let them through) and
+# their bigs came back 60s+, while every visit at >=0.85x produced bigs
+# in the quiet band — the gate threshold sits between the two observed
+# era populations.  Gated skips remain budget reallocation (recorded,
+# capped at 2 consecutive), never sample exclusion.
+ERA_GATE = float(os.environ.get("SPARK_GRAFT_ERA_GATE", 0.85))
 ERA_GATE_SLEEP = float(os.environ.get("SPARK_GRAFT_ERA_GATE_SLEEP", 20))
 # SPATIAL quiet-window exposure (round-5): host co-tenancy on this box is
 # spatially localized, not just temporal — simultaneous CPU/LLC-bound
@@ -157,7 +167,11 @@ ERA_GATE_SLEEP = float(os.environ.get("SPARK_GRAFT_ERA_GATE_SLEEP", 20))
 # was previously blind to LLC suppression (it only saw DRAM bandwidth).
 # Every candidate probe and the chosen set are recorded per visit in the
 # detail file so the selection stays auditable.
-CPU_PROBE_SECS = float(os.environ.get("SPARK_GRAFT_CPU_PROBE_SECS", 1.2))
+# 2.0 as of round-5 run2 analysis: at 1.2 s the probe's era estimate was
+# only weakly predictive of the following ~2-minute visit (a 916-ops
+# probe preceded 52/57 s bigs); a longer window averages over sub-second
+# co-tenant bursts at ~3 s/visit of extra cost
+CPU_PROBE_SECS = float(os.environ.get("SPARK_GRAFT_CPU_PROBE_SECS", 2.0))
 # N-leg convergence: once its BIG min stops improving (>2% over the
 # last 2 visits) the N leg is visited every other round, reallocating
 # the saved wall to 4N exposure (min-over-samples: skipped visits can
