@@ -202,7 +202,9 @@ SCALING_COMPACT_KEYS = (
     "turns_per_sec_n", "turns_per_sec_4n",
     "marginal_tput_n", "marginal_tput_4n",
     "speedup_raw", "efficiency_raw", "efficiency_corrected",
-    "speedup_marginal", "efficiency_marginal", "efficiency",
+    "speedup_marginal", "efficiency_marginal",
+    "efficiency_stationary", "n_visits_stationary_n",
+    "n_visits_stationary_4n", "efficiency",
     "mem_bw_gbps_n", "mem_bw_gbps_4n", "mem_bw_speedup",
     "efficiency_vs_bandwidth_raw", "efficiency_vs_bandwidth",
 )
@@ -367,9 +369,15 @@ def _leg_main(cores: int) -> None:
         _run_er_job(spark, 5_000)
         samples = []
         for _ in range(LEG_SAMPLES):
+            # SANDWICH order (round-5): small, big×n, small — the bigs
+            # are BRACKETED by two small runs so the per-visit pairing
+            # in _leg_capacity can test era stationarity (two smalls
+            # agreeing ⇒ the era held across the visit) instead of
+            # pairing a small and a big from different host eras.
             samples.append(_timed_er(spark, cpus, SCALING_TURNS_SMALL))
             for _b in range(n_bigs):
                 samples.append(_timed_er(spark, cpus, SCALING_TURNS))
+            samples.append(_timed_er(spark, cpus, SCALING_TURNS_SMALL))
     finally:
         spark.stop()
     print(json.dumps({"samples": samples}))
@@ -524,8 +532,38 @@ def _steal_corrected_sec(s: dict) -> float:
     return s["sec"] * (1.0 - min(s["steal"], 0.95))
 
 
+# era-stationarity band for the per-visit (paired) marginal: a visit's
+# two bracketing small runs must agree within this fraction for the
+# visit's era to count as stationary (see _leg_capacity)
+VISIT_STATIONARY_BAND = float(os.environ.get("SPARK_GRAFT_VISIT_BAND", 0.2))
+
+
 def _leg_capacity(samples: list[dict]) -> dict:
-    """Per-leg capacity estimates from (small, big) sample pairs."""
+    """Per-leg capacity estimates from (small, big) sample pairs.
+
+    Two marginal estimators, both reported:
+
+    * cross-visit (``marginal_raw``/``marginal_corr``, the r2-r4 form):
+      ``delta / (min over ALL bigs − min over ALL smalls)``.  Mixing eras
+      across visits makes this conservative whenever no single visit is
+      fully quiet — the min small typically comes from the quietest era
+      seen while the min big comes from another, so the denominator is
+      inflated by the era difference.
+    * era-stationary per-visit (``marginal_visit_raw``/``_corr``, round
+      5): each visit runs small, big×k, small (sandwich, see _leg_main);
+      a visit is STATIONARY iff its two bracketing smalls agree within
+      VISIT_STATIONARY_BAND.  For a stationary visit the host-era factor
+      f ≥ 1 is constant across the pair, so the visit slope
+      ``delta / (min(bigs) − min(smalls)) = quiet_slope / f`` is a lower
+      bound on the quiet-era slope, and the max over stationary visits
+      is still a lower bound — the same min-over-samples capacity logic,
+      applied to PAIRED measurements from one era.  The failure mode of
+      unpaired per-visit slopes (era improves between the leading small
+      and the bigs → denominator collapses → slope inflates) is exactly
+      what the trailing small + stationarity test rejects: an era move
+      inside the visit shows up as disagreeing smalls and the visit is
+      excluded from owning the estimate (its samples still feed the
+      cross-visit and single-size estimators)."""
     small = [s for s in samples if s["turns"] == SCALING_TURNS_SMALL]
     big = [s for s in samples if s["turns"] == SCALING_TURNS]
     t_small_raw = min(s["sec"] for s in small)
@@ -540,6 +578,10 @@ def _leg_capacity(samples: list[dict]) -> dict:
         "t_big_corr": t_big_corr,
         "marginal_raw": None,
         "marginal_corr": None,
+        "marginal_visit_raw": None,
+        "marginal_visit_corr": None,
+        "n_visits_stationary": 0,
+        "n_visits_paired": 0,
     }
     # marginal throughput = per-turn slope between the two sizes; only
     # meaningful when the big run is clearly longer than the small one
@@ -549,6 +591,34 @@ def _leg_capacity(samples: list[dict]) -> dict:
         out["marginal_raw"] = delta / (t_big_raw - t_small_raw)
     if t_big_corr - t_small_corr > 0.1 * t_big_corr:
         out["marginal_corr"] = delta / (t_big_corr - t_small_corr)
+
+    # era-stationary per-visit slopes (visits tagged by _measure_scaling;
+    # pre-sandwich samples without a visit id or with <2 smalls simply
+    # never qualify)
+    by_visit: dict[int, list[dict]] = {}
+    for s in samples:
+        if "visit" in s:
+            by_visit.setdefault(s["visit"], []).append(s)
+    for vs in by_visit.values():
+        vsmall = [s for s in vs if s["turns"] == SCALING_TURNS_SMALL]
+        vbig = [s for s in vs if s["turns"] == SCALING_TURNS]
+        if len(vsmall) < 2 or not vbig:
+            continue
+        out["n_visits_paired"] += 1
+        s_first, s_last = vsmall[0]["sec"], vsmall[-1]["sec"]
+        if abs(s_first - s_last) > VISIT_STATIONARY_BAND * min(s_first, s_last):
+            continue  # era moved inside the visit: pairing unreliable
+        out["n_visits_stationary"] += 1
+        for key, t in (
+            ("marginal_visit_raw", lambda s: s["sec"]),
+            ("marginal_visit_corr", _steal_corrected_sec),
+        ):
+            tb = min(t(s) for s in vbig)
+            ts = min(t(s) for s in vsmall)
+            if tb - ts > 0.1 * tb:
+                slope = delta / (tb - ts)
+                if out[key] is None or slope > out[key]:
+                    out[key] = slope
     return out
 
 
@@ -557,7 +627,7 @@ def _measure_scaling() -> dict:
     leg a taskset-bound subprocess emitting (small, big) timed pairs with
     per-window steal fractions.
 
-    Three efficiency estimators, least to most faithful to the
+    Four efficiency estimators, least to most faithful to the
     10^12-turn north target, all reported raw (unclamped) and clamped:
 
       * efficiency_raw        — best big-size sample quotient. Includes
@@ -566,8 +636,16 @@ def _measure_scaling() -> dict:
         (hypervisor contention removed; Amdahl still included).
       * efficiency_marginal   — quotient of per-turn marginal throughputs
         (fixed per-job cost subtracted exactly; the slope is what
-        predicts throughput at sizes where fixed cost amortizes away).
-        The headline ``efficiency`` is the steal-corrected marginal.
+        predicts throughput at sizes where fixed cost amortizes away),
+        cross-visit form: min small and min big may come from different
+        host eras, which understates the slope whenever no single visit
+        is fully quiet.
+      * efficiency_stationary — the same marginal computed from PAIRED
+        (one-visit, one-era) sandwich measurements that pass the
+        era-stationarity test (see _leg_capacity); the same estimator is
+        applied to both legs, never mixed per leg.  The headline
+        ``efficiency`` is the stationary quotient when both legs hold a
+        stationary visit, else the cross-visit steal-corrected marginal.
 
     Anti-selection-bias guards (round-1 review findings): a fixed minimum
     of SCALING_MIN_ROUNDS rounds always runs; once the target efficiency
@@ -583,6 +661,7 @@ def _measure_scaling() -> dict:
     bw_samples: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     cpu_probes: dict[int, list[float]] = {n_cores: [], n4_cores: []}
     samples: dict[int, list[dict]] = {n_cores: [], n4_cores: []}
+    visit_ids: dict[int, int] = {n_cores: 0, n4_cores: 0}
 
     t_start = time.monotonic()
     rounds_run = 0
@@ -673,6 +752,7 @@ def _measure_scaling() -> dict:
             visit = _run_leg_subprocess(
                 cores, cpuset, n_bigs=LEG_BIGS_4N if cores == n4_cores else 1
             )
+            visit_ids[cores] += 1
             for i, s in enumerate(visit):
                 # era evidence: what the box offered this visit's chosen
                 # CPU set right before the timed pair (suppressed eras are
@@ -680,6 +760,7 @@ def _measure_scaling() -> dict:
                 s["era_bw"] = round(bw, 1)
                 s["era_cpu"] = round(ops, 1)
                 s["cpuset"] = cpuset
+                s["visit"] = visit_ids[cores]
                 if i == 0:
                     s["cpu_probes"] = {k: round(v, 1) for k, v in probes.items()}
             samples[cores].extend(visit)
@@ -714,6 +795,11 @@ def _measure_scaling() -> dict:
                 cap_4n["marginal_corr"] / cap_n["marginal_corr"] / 4.0
                 >= SCALING_TARGET_EFF
             )
+        if cap_n["marginal_visit_corr"] and cap_4n["marginal_visit_corr"]:
+            evidenced = evidenced or (
+                cap_4n["marginal_visit_corr"] / cap_n["marginal_visit_corr"] / 4.0
+                >= SCALING_TARGET_EFF
+            )
         if bw_ratio > 1.0:
             evidenced = evidenced or (
                 cap_4n["tput_raw"] / cap_n["tput_raw"] / bw_ratio
@@ -744,7 +830,25 @@ def _measure_scaling() -> dict:
     speedup_marginal = (
         cap_4n["marginal_corr"] / cap_n["marginal_corr"] if marginal_ok else None
     )
-    headline = speedup_marginal if marginal_ok else speedup_corr
+    # era-stationary paired quotient: the same estimator on BOTH legs
+    # (never mixed per-leg), used as the headline when both legs hold at
+    # least one stationary visit — it pairs sizes measured in one era,
+    # which is what a quiet-cluster measurement would do; the cross-visit
+    # quotient stays reported beside it (see _leg_capacity docstring)
+    stationary_ok = bool(
+        cap_n["marginal_visit_corr"] and cap_4n["marginal_visit_corr"]
+    )
+    speedup_stationary = (
+        cap_4n["marginal_visit_corr"] / cap_n["marginal_visit_corr"]
+        if stationary_ok
+        else None
+    )
+    if stationary_ok:
+        headline = speedup_stationary
+    elif marginal_ok:
+        headline = speedup_marginal
+    else:
+        headline = speedup_corr
 
     def _r(x, nd=3):
         return round(x, nd) if x is not None else None
@@ -771,6 +875,18 @@ def _measure_scaling() -> dict:
         "marginal_tput_4n": _r(cap_4n["marginal_corr"], 1),
         "marginal_tput_n_raw": _r(cap_n["marginal_raw"], 1),
         "marginal_tput_4n_raw": _r(cap_4n["marginal_raw"], 1),
+        "marginal_visit_tput_n": _r(cap_n["marginal_visit_corr"], 1),
+        "marginal_visit_tput_4n": _r(cap_4n["marginal_visit_corr"], 1),
+        "marginal_visit_tput_n_raw": _r(cap_n["marginal_visit_raw"], 1),
+        "marginal_visit_tput_4n_raw": _r(cap_4n["marginal_visit_raw"], 1),
+        "n_visits_stationary_n": cap_n["n_visits_stationary"],
+        "n_visits_stationary_4n": cap_4n["n_visits_stationary"],
+        "n_visits_paired_n": cap_n["n_visits_paired"],
+        "n_visits_paired_4n": cap_4n["n_visits_paired"],
+        "speedup_stationary": _r(speedup_stationary),
+        "efficiency_stationary": _r(
+            speedup_stationary / 4.0 if stationary_ok else None
+        ),
         "speedup_raw": _r(speedup_raw),
         "efficiency_raw": _r(speedup_raw / 4.0),
         "speedup_corrected": _r(speedup_corr),
