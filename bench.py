@@ -262,7 +262,7 @@ BENCH_QUERIES = [
 
 
 def _session(cores: int) -> SparkSession:
-    return (
+    builder = (
         SparkSession.builder.appName(f"neuronews-bench-{cores}")
         .master(f"local[{cores}]")
         # throughput GC: measured ~15% faster and markedly more stable
@@ -270,25 +270,32 @@ def _session(cores: int) -> SparkSession:
         # GC thread count follows the leg's taskset affinity
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(cores * 4))
+        # width-conditional shuffle sizing — narrow legs (the 1/4-core
+        # scaling visits) get 4x slots + an AQE coalescing floor so the
+        # CPU-bound Arrow-UDF stages keep load-balance granularity (8-core
+        # measurement: 10 coalesced partitions ran 2.3x slower than 24);
+        # wide sessions keep 2x slots with byte-targeted coalescing, which
+        # the interleaved A/B (scripts/ab_shuffle_floor.py) showed beats
+        # the floored config at 32 cores (doc_embeddings 2.0 s vs 4.7 s,
+        # er 1M 12.4 s vs 15.2 s)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(cores * 4 if cores <= 8 else cores * 2),
+        )
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # floor AQE coalescing at ~3x task slots: byte-targeted coalescing
-        # (~64 MB) starves CPU-bound Arrow-UDF stages of load-balance
-        # granularity — the 4M-turn extraction stage coalesced to 10
-        # partitions on 8 cores ran 2.3x slower than at 24 (measured; see
-        # session.py for the cluster-scale statement of the same rule)
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
-            str(cores * 3),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if cores <= 8:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores * 3),
+        )
+    return builder.getOrCreate()
 
 
 def _run_er_job(spark: SparkSession, n_turns: int) -> tuple[float, int]:

@@ -66,8 +66,20 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     cores = _local_cores(master)
+    # Width-conditional shuffle sizing (A/B-measured, scripts/ab_shuffle_floor.py):
+    # narrow sessions (<= 8 task slots — the scaling legs and small clusters)
+    # need extra partition granularity so AQE coalescing can't leave the
+    # CPU-bound Arrow-UDF stages with ragged waves (4M-turn extraction at 8
+    # cores: 10 coalesced partitions ran 2.3x slower than 24). Wide sessions
+    # pay for that same granularity in per-task overhead instead: at 32 cores,
+    # shuffle=4x + floor regressed the TF-IDF embed job 2.3x (2.0 s -> 4.7 s)
+    # and the 1M-turn ER pipeline 23% vs shuffle=2x with byte-targeted
+    # coalescing left alone.
+    narrow = cores <= 8
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", cores * 4))
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE", cores * 4 if narrow else cores * 2)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -76,19 +88,6 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE's byte-based coalescing targets IO-bound stages (~64 MB
-        # partitions); the stages feeding CPU-heavy Arrow UDF kernels
-        # (mention extraction, pair scoring) need >= ~3x task slots of
-        # granularity for load balance regardless of bytes — measured:
-        # the 4M-turn extraction stage coalesced to 10 partitions on 8
-        # cores and ran 2.3x slower than at 24 partitions (two ragged
-        # waves vs even packing). minPartitionNum floors the coalescer
-        # without disabling it; the same rule (min = ~3x total executor
-        # cores) applies verbatim on a multi-executor cluster.
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
-            str(cores * 3),
-        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -97,6 +96,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if narrow:
+        # Floor AQE coalescing at ~3x task slots on narrow sessions: the
+        # byte-based coalescer (~64 MB targets) starves CPU-bound Arrow-UDF
+        # stages of load-balance granularity when slots are few. On wide
+        # sessions the floor is left off — byte-targeted coalescing is the
+        # right call there (see the A/B numbers above). On a multi-executor
+        # cluster the analogous rule keys off *total* executor cores.
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionNum",
+            str(cores * 3),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
