@@ -75,9 +75,9 @@ does not have — while a 4-core big leg fits inside ONE quiet 8-core
 host region and can be spatially dodged like the small leg. The DRAM
 bus scales ~3.9x from 1 → 4 cores (probe-measured), so bandwidth is
 not a confounded ceiling at this width either, and the job itself
-still exercises real shuffle parallelism (32 shuffle partitions; the
-32-core er/er_stress legs elsewhere in this file evidence the wide
-plan). Validation probe under deliberate co-tenancy (the repo's own
+still exercises real shuffle parallelism (16 shuffle partitions + a
+12-partition AQE coalescing floor on the 4-core leg; the 32-core
+er/er_stress legs elsewhere in this file evidence the wide plan). Validation probe under deliberate co-tenancy (the repo's own
 20-min pytest suite running concurrently): raw 0.949 / corrected 0.925
 / marginal 1.016 / stationary 1.319 unclamped — every estimator above
 target in a hostile era (docs/scaling_r5_probe_base1.json).
