@@ -38,14 +38,18 @@ def pin_worker_thread_pools() -> None:
         os.environ.setdefault(var, "1")
 
 
-def _local_cores(master: str) -> int:
-    """Task-slot count implied by a ``local[...]`` master (cluster masters
-    fall back to the host's core count — the submit command sizes those)."""
+def _local_cores(master: str) -> int | None:
+    """Task-slot count implied by a ``local[...]`` master. Returns ``None``
+    for cluster masters (yarn/k8s/standalone) and ``local[*]``-on-unknown —
+    the driver host's core count says nothing about cluster width, so no
+    core-derived default may be sized from it."""
     if master.startswith("local[") and master.endswith("]"):
         inner = master[6:-1]
         if inner.isdigit():
             return int(inner)
-    return os.cpu_count() or 8
+        if inner == "*":
+            return os.cpu_count() or 8
+    return None
 
 
 def get_spark(
@@ -74,18 +78,24 @@ def get_spark(
     # pay for that same granularity in per-task overhead instead: at 32 cores,
     # shuffle=4x + floor regressed the TF-IDF embed job 2.3x (2.0 s -> 4.7 s)
     # and the 1M-turn ER pipeline 23% vs shuffle=2x with byte-targeted
-    # coalescing left alone.
-    narrow = cores <= 8
+    # coalescing left alone. On a CLUSTER master (cores is None) no
+    # core-derived default is set at all: the driver host's width says
+    # nothing about cluster width, so shuffle sizing belongs to the submit
+    # command (--conf spark.sql.shuffle.partitions=2-3x total executor
+    # cores) or SPARK_GRAFT_SHUFFLE, with Spark's default + AQE coalescing
+    # as the fallback.
+    narrow = cores is not None and cores <= 8
     if shuffle_partitions is None:
-        shuffle_partitions = int(
-            os.environ.get("SPARK_GRAFT_SHUFFLE", cores * 4 if narrow else cores * 2)
-        )
+        env = os.environ.get("SPARK_GRAFT_SHUFFLE")
+        if env is not None:
+            shuffle_partitions = int(env)
+        elif cores is not None:
+            shuffle_partitions = cores * 4 if narrow else cores * 2
 
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -96,6 +106,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if shuffle_partitions is not None:
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
     if narrow:
         # Floor AQE coalescing at ~3x task slots on narrow sessions: the
         # byte-based coalescer (~64 MB targets) starves CPU-bound Arrow-UDF
