@@ -110,6 +110,13 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 ER_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_000_000))
+# The 32-core er leg reports min-over-ER_SAMPLES executions: the first
+# run doubles as the ER pipeline's codegen/broadcast warmup (the suite
+# queries exercise different plans), and min-over-samples is the same
+# capacity estimator the scaling legs use — era noise only lowers
+# throughput (r5 evidence: 16.9 s vs 31.5 s for identical code in
+# different eras), so a single sample measures the era, not the plan.
+ER_SAMPLES = max(1, int(os.environ.get("SPARK_GRAFT_ER_SAMPLES", 2)))
 # Each timed sample runs the job at TWO sizes back-to-back (SMALL then
 # BIG in the same JVM, adjacent noise windows): the per-leg capacity is
 # the MARGINAL throughput (BIG-SMALL) / (t_big - t_small), which
@@ -1012,11 +1019,14 @@ def main() -> None:
                 if timed:
                     timings[name] = round(time.perf_counter() - t0, 2)
 
-        er_t, _n_ents = _run_er_job(spark, ER_TURNS)
+        er_t = min(
+            _run_er_job(spark, ER_TURNS)[0] for _ in range(ER_SAMPLES)
+        )
         er = {
             "n_turns": ER_TURNS,
             "sec": round(er_t, 2),
             "turns_per_sec": round(ER_TURNS / er_t, 1),
+            "n_samples": ER_SAMPLES,
         }
         er_stress = None if SKIP_ER_STRESS else _run_er_stress(spark)
     finally:
