@@ -117,6 +117,24 @@ def token_jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """(doc, shingles) — distinct lowercase token n-gram shingles per doc,
+    empty-shingle docs dropped.  Shared by :func:`minhash_near_duplicates`
+    and :func:`decontaminate` so that when both run over the SAME input
+    in one session (the ``corpus_prep`` composition) their persisted
+    shingle frames have identical analyzed plans and Spark's CacheManager
+    aliases them to ONE cache entry — the corpus is shingled once."""
+    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            token_shingles(F.array_join(toks, " "), n=shingle_n)
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -155,13 +173,7 @@ def minhash_near_duplicates(
     64-dim cosine is O(n²·64); the two detectors genuinely want
     different verify topologies.
     """
-    toks = F.transform(ws_tokens(F.col(text_col)), lambda x: F.lower(x))
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(token_shingles(F.array_join(toks, " "), n=shingle_n)).alias(
-            "shingles"
-        ),
-    ).filter(F.size("shingles") > 0)
+    base = _shingle_frame(df, id_col, text_col, shingle_n)
 
     # Feeds bucketing, the size table, and join-back.  MEMORY_AND_DISK so
     # a corpus-sized shingle table degrades to disk instead of evicting;
@@ -363,7 +375,10 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
-    **minhash_kwargs,
+    shingle_n: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 500,
 ) -> DataFrame:
     """Train/eval contamination detector: eval rows whose near-duplicate
     (token-shingle Jaccard ≥ threshold, MinHash-LSH candidates, exact
@@ -371,43 +386,74 @@ def decontaminate(
     data pipeline runs before training. Returns
     (eval_id, train_id, jaccard), one row per contaminated cross-pair.
 
-    Built by composition: the union is pushed through
-    :func:`minhash_near_duplicates` (so all of its scale machinery —
-    bucket caps, id-only candidate shuffle, size prefilter — applies)
-    and only cross-side pairs survive.  Ids are prefixed per side
-    internally ('t:'/'e:') and stripped on output, so an id appearing on
-    BOTH sides is handled correctly (it reports itself as contamination
-    at jaccard 1.0) instead of silently fanning out through a side-map
-    join — and the side test is a prefix check, no extra join at all."""
-    # each output column casts back to ITS OWN side's id type — the two
-    # sides may legitimately differ (e.g. long train ids vs string
-    # eval-suite ids); casting both to train's type would NULL/ANSI-fail
-    # heterogeneous eval ids
-    train_id_type = {f.name: f.dataType for f in train.schema.fields}[id_col]
-    eval_id_type = {f.name: f.dataType for f in eval_.schema.fields}[id_col]
-    tag = lambda side_df, p: side_df.select(  # noqa: E731
-        F.concat(F.lit(p), F.col(id_col).cast("string")).alias(id_col),
-        F.col(text_col),
-    )
-    both = tag(train, "t:").unionByName(tag(eval_, "e:"))
-    pairs = minhash_near_duplicates(
-        both, id_col, text_col, jaccard_threshold=jaccard_threshold,
-        **minhash_kwargs,
-    )
-    side = lambda c: F.substring(c, 1, 2)  # noqa: E731
-    strip = lambda c, t: F.expr(f"substring({c}, 3)").cast(t)  # noqa: E731
-    return (
-        pairs.filter(side(F.col("id_a")) != side(F.col("id_b")))
-        .select(
-            F.when(side(F.col("id_a")) == "e:", strip("id_a", eval_id_type))
-            .otherwise(strip("id_b", eval_id_type))
-            .alias("eval_id"),
-            F.when(side(F.col("id_a")) == "t:", strip("id_a", train_id_type))
-            .otherwise(strip("id_b", train_id_type))
-            .alias("train_id"),
-            "jaccard",
+    ASYMMETRIC topology (train ≫ eval, the production shape): both sides
+    are shingled and band-keyed with the SAME scheme as
+    :func:`minhash_near_duplicates`, then candidates come from a
+    train-bucket × eval-bucket equi-join — never a union self-join.  At
+    100 TB that means (a) no train×train candidate pairs are proposed or
+    deduped just to be filtered out, (b) the eval band-key table is tiny
+    and AQE broadcasts it, so the only corpus-sized shuffle left is the
+    map-side-combined bucket-cap count, and (c) the exact-Jaccard verify
+    touches only cross pairs.  Semantics are unchanged vs the former
+    union-composition version: identical shingle/band scheme → identical
+    cross-candidate recall, exact verify → identical output pairs; an id
+    appearing on BOTH sides simply reports itself at jaccard 1.0.  Each
+    output id keeps its own side's type (train/eval id types may differ).
+    The bucket cap counts TRAIN docs per bucket (hot boilerplate buckets
+    are a corpus phenomenon; the union version's cap counted both sides,
+    differing only by the ≤|eval-in-bucket| margin)."""
+    tb = _shingle_frame(train, id_col, text_col, shingle_n)
+    tb = tb.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(tb)
+    eb = _shingle_frame(eval_, id_col, text_col, shingle_n)
+    eb = eb.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(eb)
+
+    def keyed(side: DataFrame) -> DataFrame:
+        return side.select(
+            "doc",
+            F.explode(
+                minhash_band_keys(
+                    F.col("shingles"), n_hashes=n_hashes, bands=bands, prefix="d"
+                )
+            ).alias("bucket"),
         )
+
+    tkeyed = keyed(tb)
+    ok = (
+        tkeyed.groupBy("bucket")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("bucket")
     )
+    cand = (
+        tkeyed.join(ok, "bucket")
+        .join(
+            keyed(eb).withColumnsRenamed({"doc": "_edoc"}), "bucket"
+        )
+        .select(F.col("doc").alias("_tdoc"), "_edoc")
+        .dropDuplicates(["_tdoc", "_edoc"])
+    )
+    # lossless size-ratio prefilter: J >= t  =>  min|set|/max|set| >= t
+    tsz = tb.select(F.col("doc").alias("_tdoc"), F.size("shingles").alias("_szt"))
+    esz = eb.select(F.col("doc").alias("_edoc"), F.size("shingles").alias("_sze"))
+    pruned = (
+        cand.join(tsz, "_tdoc")
+        .join(esz, "_edoc")
+        .filter(
+            F.least("_szt", "_sze")
+            >= F.lit(jaccard_threshold) * F.greatest("_szt", "_sze")
+        )
+        .select("_tdoc", "_edoc")
+    )
+    pairs = pruned.join(
+        tb.withColumnsRenamed({"doc": "_tdoc", "shingles": "_sht"}), "_tdoc"
+    ).join(eb.withColumnsRenamed({"doc": "_edoc", "shingles": "_she"}), "_edoc")
+    return pairs.select(
+        F.col("_edoc").alias("eval_id"),
+        F.col("_tdoc").alias("train_id"),
+        F.round(token_jaccard(F.col("_sht"), F.col("_she")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def remove_duplicate_spans(
