@@ -1086,20 +1086,32 @@ def embedding_cosine_pairs(
     )
 
 
-def srp_signature_udf(n_planes: int, dim: int, seed: int = 7):
+def srp_signature_udf(n_planes: int, dim: int | None = None, seed: int = 7):
     """Signed-random-projection signature as an Arrow-batched pandas UDF:
     one matmul per batch against a deterministic N(0,1) plane matrix,
-    packed into a long. (Hyperplane LSH: P[bit equal] = 1 - θ/π.)"""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    packed into a long. (Hyperplane LSH: P[bit equal] = 1 - θ/π.)
+
+    ``dim=None`` infers the dimension from the first Arrow batch on the
+    executor (seed + dim determine the plane matrix, so every executor
+    derives the identical planes).  This matters when the input is an
+    expensive lazy pipeline: a driver-side ``select(size(vec)).first()``
+    dim probe would execute the whole upstream once just to read one
+    int — an embed pipeline with a corpus-wide IDF aggregation cannot
+    short-circuit a LIMIT 1 — doubling the caller's embed cost."""
     weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def _planes(d: int) -> np.ndarray:
+        return np.random.default_rng(seed).standard_normal((d, n_planes))
+
+    planes = _planes(dim) if dim is not None else None
 
     @F.pandas_udf(T.LongType())
     def sig(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ planes) >= 0.0  # (batch, n_planes)
+        p = planes if planes is not None else _planes(m.shape[1])
+        bits = (m @ p) >= 0.0  # (batch, n_planes)
         return pd.Series(bits @ weights)
 
     return sig
@@ -1132,21 +1144,13 @@ def srp_lsh_near_dups(
     4 bands a pair at cos ≥ 0.9 (θ ≤ 0.45 rad) collides in ≥1 band with
     p ≈ 1-(1-(1-θ/π)^4)^4 ≳ 0.97."""
 
-    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if dim_row is None:
-        # empty-result schema must match the non-empty path's id type
-        id_type = df.schema[id_col].dataType
-        return df.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("id_a", id_type),
-                    T.StructField("id_b", id_type),
-                    T.StructField("sim", T.DoubleType()),
-                ]
-            ),
-        )
-    sig = srp_signature_udf(n_planes, int(dim_row["d"]), seed)
+    # dim is inferred per batch on the executors (seed+dim → same planes
+    # everywhere): a driver-side size().first() probe here would execute
+    # the entire upstream pipeline once just for the dimension — for the
+    # text path (embed → SRP) that DOUBLED the embed cost, since the IDF
+    # aggregation cannot short-circuit a LIMIT 1.  Empty input flows
+    # through naturally (no pandas groups → empty result, same schema).
+    sig = srp_signature_udf(n_planes, seed=seed)
 
     r = n_planes // bands
     mask = (1 << r) - 1
