@@ -66,6 +66,13 @@ def hashed_tfidf_features(
         .agg(F.count(F.lit(1)).alias("tf"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # register with the shared operator-cache registry so cache_scope()/
+    # release_caches() free it like every other operator pin — an
+    # untracked persist leaks across a long-lived session's query loop
+    # and silently warms later embed-consuming queries' measurements
+    from neuronews_spark.operators.dedup import _PERSISTED
+
+    _PERSISTED.append(tf)
     n_docs = tf.select(F.countDistinct("doc").alias("n")).first()["n"]
     dfb = (
         tf.groupBy("bucket")
