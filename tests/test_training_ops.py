@@ -1045,3 +1045,51 @@ def test_remove_duplicate_spans_planted(spark):
     assert got[5]["text_md5"] == md5(["short", "doc", "under", "thirteen", "tokens"])
     # conservation: n_tokens is pre-removal
     assert got[4]["n_tokens"] == 27 and got[2]["n_tokens"] == 23
+
+
+def test_srp_lsh_near_dups_empty_input(spark):
+    """Empty input flows through the pandas-UDF path (the driver-side dim
+    probe and its explicit empty-return branch were removed): result is
+    empty with the (id_a, id_b, sim) schema and the input's id type."""
+    from neuronews_spark.operators.dedup import srp_lsh_near_dups
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = srp_lsh_near_dups(df, "vec_id", "embedding", threshold=0.9)
+    assert out.columns == ["id_a", "id_b", "sim"]
+    assert dict((f.name, f.dataType.simpleString()) for f in out.schema.fields)[
+        "id_a"
+    ] == "bigint"
+    assert out.count() == 0
+
+
+def test_decontaminate_caps_hot_train_buckets(spark):
+    """The asymmetric topology counts TRAIN docs per band bucket for the
+    skew cap: a boilerplate bucket wider than max_bucket proposes no
+    candidates, so its eval twin goes unreported (recall loss by cap,
+    exactly like minhash_near_duplicates), while a small bucket still
+    reports its cross pair."""
+    from neuronews_spark.operators.dedup import decontaminate
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    cold = "one two three four five six seven eight nine"
+    train = spark.createDataFrame(
+        [(i, hot) for i in range(8)] + [(100, cold)],
+        "doc_id long, text string",
+    )
+    eval_ = spark.createDataFrame(
+        [(1000, hot), (1001, cold)], "doc_id long, text string"
+    )
+    got = {
+        (r["eval_id"], r["train_id"])
+        for r in decontaminate(
+            train, eval_, jaccard_threshold=0.9, max_bucket=4
+        ).collect()
+    }
+    assert got == {(1001, 100)}  # hot bucket (8 > 4) dropped entirely
+    uncapped = {
+        r["eval_id"]
+        for r in decontaminate(
+            train, eval_, jaccard_threshold=0.9, max_bucket=500
+        ).collect()
+    }
+    assert uncapped == {1000, 1001}
