@@ -705,11 +705,12 @@ def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     decontamination (eval = the first 50 docs by id, a stand-in
     benchmark set) → deterministic subsample → shard shuffle, emitted
     as per-doc audit flags + final (shard, pos) training order.
-    Rows-only: the near-dup flag rides MinHash-LSH buckets (no DuckDB
-    xxhash64); every component stage IS individually oracled
-    (clean_corpus, exact_dup_groups, minhash_near_dups/dup_clusters,
-    decontamination, stratified_sample, shard_shuffle) and the
-    composition is pinned by a planted-case pytest."""
+    Oracled end-to-end since round 5: the mirror composes the
+    already-oracled stage mirrors (clean_corpus, minhash_near_dups,
+    dup_clusters CC, decontamination, stratified_sample,
+    shard_shuffle); the LSH-vs-exact recall precondition is pinned by
+    tests/test_corpus_prep_oracle_guard.py, the composition
+    additionally by a planted-case pytest."""
     _prep(spark)
     from neuronews_spark.corpus_pipeline import prepare_training_corpus
 
@@ -2938,6 +2939,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ivf_recall, which exercises the same top-k kernel).
         "entity_resolution": q_entity_resolution,
         "dup_clusters": q_dup_clusters,
+        # corpus_prep: the end-to-end training-corpus composite, oracled
+        # in round 5 (audit-frame DuckDB mirror composed from the
+        # already-oracled stage mirrors; LSH recall completeness at 0.8
+        # corpus-guarded by tests/test_corpus_prep_oracle_guard.py at
+        # sf0.001 AND sf0.01).  In-window so the driver records it;
+        # centrality_stats → 51+ (graph family stays repped by
+        # pagerank_events + component_stats).
+        "corpus_prep": q_corpus_prep,
         "am_claims_dataset": q_am_claims_dataset,
         # file_batch_docs: batch file-ingestion family's window rep (CSV +
         # JSON-Lines read through the detection ladder against committed
@@ -2981,8 +2990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srp_recall": q_srp_recall,
         "ivf_recall": q_ivf_recall,
         "pagerank_events": q_pagerank_events,
-        "centrality_stats": q_centrality_stats,
         # --- position 51+: oracled, family already represented above ---
+        "centrality_stats": q_centrality_stats,
         "approx_quantile_gate": q_approx_quantile_gate,
         "dedup_docs": q_dedup_docs,
         "ivf_topk": q_ivf_topk,
@@ -3067,11 +3076,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   tens of rows (driver-side by construction, gated); the
         #   distributed half IS oracled via outlet_vectors
         "outlet_clusters": q_outlet_clusters,
-        # corpus_prep: composite clean→dedup→near-dedup→decontaminate→
-        #   sample→shard pipeline; near-dup flag rides MinHash-LSH
-        #   (no DuckDB xxhash64) — every component stage is individually
-        #   oracled, composition pinned by planted-case pytest
-        "corpus_prep": q_corpus_prep,
+        # (corpus_prep graduated to the oracled window in round 5 —
+        #   registered above at position ~13; see _corpus_prep_sql)
         # bpe_merges: iterative argmax loop (merge N's input depends on
         #   merge N-1's winner) has no SQL mirror; iteration 1 IS oracled
         #   via bpe_top_pairs, and the full loop is pinned by differential
@@ -3356,6 +3362,204 @@ def _mention_extraction_sql() -> str:
                  || lower(trim(regexp_replace(name, '\\s+', ' ', 'g')))), 1, 12)
                  AS node_id
         FROM final WHERE norm <> ''
+    """
+
+
+def _corpus_prep_sql() -> str:
+    """DuckDB mirror of the END-TO-END corpus_prep composite
+    (corpus_pipeline.prepare_training_corpus): C4/Gopher clean →
+    exact dedup → MinHash near-dedup (CC keep-min) → decontamination
+    vs eval = first 50 docs → deterministic 0.9 subsample →
+    shard shuffle, as the per-doc audit-flag frame.
+
+    Every stage reuses a mirror that is already individually oracled:
+    the clean gate is the ``clean_corpus`` mirror applied to RAW text
+    (corpus_prep does not inject newlines); the sample draw and the
+    (shard, pos) order are the ``stratified_sample`` /
+    ``shard_shuffle`` md5 formulas; the near-dup/decontamination pair
+    graph is the ``minhash_near_dups`` exact inverted-index Jaccard at
+    threshold 0.8, with connected components as the ``dup_clusters``
+    recursive CTE (component = lexicographic min over varchar ids —
+    the Spark CC contract, corpus_pipeline.py casts ids to string).
+
+    The one reduction: Spark's pair set is LSH-proposed
+    (xxhash64 band keys — no DuckDB kernel) then exact-verified, so
+    the mirror's exact pair set matches iff banding recall is complete
+    at 0.8 on this corpus.  It is, deterministically: the corpus's
+    minimum above-threshold pair Jaccard is 0.889 (planted template
+    near-dups; nothing in [0.8, 0.888)), where the 8-band × 4-row miss
+    probability is ~4e-4 per pair — and
+    tests/test_corpus_prep_oracle_guard.py asserts Spark's LSH pair
+    set EQUALS the exact-Jaccard pair set at sf0.001 and sf0.01, so a
+    corpus change that opens a recall gap fails loudly."""
+    return f"""
+        WITH RECURSIVE
+        feat AS MATERIALIZED (
+          SELECT doc_id, coalesce(text, '') AS t,
+                 length(coalesce(text, '')) AS n_chars,
+                 list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                             x -> x <> '') AS toks,
+                 length(regexp_replace(coalesce(text, ''),
+                                       '[^a-zA-Z]', '', 'g')) AS n_alpha
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 round(least(len(toks) / 20.0, 1.0) * 0.25
+                       + (CASE WHEN n_chars > 0
+                               THEN n_alpha::double / n_chars
+                               ELSE 0.0::double END) * 0.25
+                       + least((CASE WHEN len(toks) > 0
+                                     THEN len(list_filter(toks,
+                                            x -> lower(x) IN {_sql_in(_EN)}))::double
+                                          / len(toks)
+                                     ELSE 0.0::double END) * 4.0,
+                               1.0) * 0.25
+                       + CASE WHEN (CASE WHEN len(toks) > 0
+                                         THEN n_chars::double / len(toks)
+                                         ELSE 0.0::double END) >= 3
+                               AND (CASE WHEN len(toks) > 0
+                                         THEN n_chars::double / len(toks)
+                                         ELSE 0.0::double END) <= 10
+                              THEN 0.25 ELSE 0.0 END,
+                       6) AS q_score
+          FROM feat),
+        clines AS MATERIALIZED (
+          SELECT doc_id, line FROM (
+            SELECT doc_id, trim(unnest(string_split(t, chr(10)))) AS line
+            FROM feat)
+          WHERE line <> ''),
+        lcount AS (
+          SELECT doc_id, line, count(*) AS c FROM clines GROUP BY 1, 2),
+        lagg AS (
+          SELECT doc_id,
+                 sum(c) AS n_lines,
+                 sum(c * length(line)) AS tot_line_chars,
+                 sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup_extra,
+                 sum(CASE WHEN c > 1 THEN (c - 1) * length(line)
+                          ELSE 0 END) AS dup_chars
+          FROM lcount GROUP BY 1),
+        bigr AS (
+          SELECT doc_id, n_chars AS tlen,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS bg
+          FROM feat WHERE len(toks) >= 2),
+        bcount AS (
+          SELECT doc_id, any_value(tlen) AS tlen, bg, count(*) AS c
+          FROM bigr GROUP BY doc_id, bg),
+        btop AS (
+          SELECT doc_id, tlen, bg, c,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY c DESC, bg ASC) AS rn
+          FROM bcount),
+        bsel AS (
+          SELECT doc_id, (c * length(bg))::double / tlen AS top_frac
+          FROM btop WHERE rn = 1),
+        clean AS MATERIALIZED (
+          SELECT q.doc_id,
+                 (q.n_tokens >= 15 AND q.n_tokens <= 50000
+                  AND q.q_score >= 0.7::double
+                  AND coalesce(l.dup_extra::double / l.n_lines, 0.0::double)
+                        <= 0.30::double
+                  AND coalesce(CASE WHEN l.tot_line_chars > 0
+                                    THEN l.dup_chars::double / l.tot_line_chars
+                                    ELSE 0.0::double END, 0.0::double)
+                        <= 0.20::double
+                  AND coalesce(b.top_frac, 0.0::double) <= 0.20::double)
+                   AS keep_clean
+          FROM q
+          LEFT JOIN lagg l USING (doc_id)
+          LEFT JOIN bsel b USING (doc_id)),
+        samp AS (
+          SELECT doc_id,
+                 (('0x' || substring(md5('17:' || doc_id::varchar), 1, 8))
+                    ::bigint::double / 4294967296.0) < 0.9 AS sampled
+          FROM documents),
+        dup AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY md5(text)) <> doc_id
+                   AS dup_loser
+          FROM documents),
+        tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents),
+        nz AS MATERIALIZED (
+          SELECT doc_id, shingles FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+                   END AS shingles
+            FROM tk)
+          WHERE len(shingles) > 0),
+        prpairs AS MATERIALIZED (
+          SELECT id_a, id_b FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::double
+                         / (any_value(len(a.shingles))
+                            + any_value(len(b.shingles)) - count(*)),
+                         6) AS jaccard
+            FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
+            JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          WHERE jaccard >= 0.8),
+        edges AS MATERIALIZED (
+          SELECT id_a::varchar AS a, id_b::varchar AS b FROM prpairs
+          UNION
+          SELECT id_b::varchar, id_a::varchar FROM prpairs),
+        cnodes AS (SELECT DISTINCT a AS n FROM edges),
+        reach(n, r) AS (
+          SELECT n, n FROM cnodes
+          UNION
+          SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.n),
+        comp AS (SELECT n, min(r) AS component FROM reach GROUP BY n),
+        ev AS MATERIALIZED (
+          SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50),
+        cont AS (
+          SELECT doc_id FROM ev
+          WHERE doc_id IN (SELECT doc_id FROM nz)
+          UNION
+          SELECT CASE WHEN id_a IN (SELECT doc_id FROM ev) THEN id_b
+                      ELSE id_a END AS doc_id
+          FROM prpairs
+          WHERE (id_a IN (SELECT doc_id FROM ev))
+             OR (id_b IN (SELECT doc_id FROM ev))),
+        aud AS MATERIALIZED (
+          SELECT d.doc_id,
+                 c.keep_clean,
+                 dp.dup_loser,
+                 (d.doc_id::varchar IN
+                    (SELECT n FROM comp WHERE n <> component))
+                   AS neardup_loser,
+                 (d.doc_id IN (SELECT doc_id FROM cont)) AS contaminated,
+                 s.sampled
+          FROM documents d
+          JOIN clean c USING (doc_id)
+          JOIN dup dp USING (doc_id)
+          JOIN samp s USING (doc_id)),
+        aud2 AS MATERIALIZED (
+          SELECT *,
+                 (keep_clean AND NOT dup_loser AND NOT neardup_loser
+                  AND NOT contaminated AND sampled) AS keep
+          FROM aud),
+        korder AS (
+          SELECT doc_id,
+                 (('0x' || substring(md5('17:' || doc_id::varchar), 1, 8))
+                    ::bigint % 8)::int AS shard,
+                 row_number() OVER (
+                   PARTITION BY (('0x' || substring(
+                     md5('17:' || doc_id::varchar), 1, 8))::bigint % 8)
+                   ORDER BY md5('17:' || doc_id::varchar), doc_id) AS pos
+          FROM aud2 WHERE keep)
+        SELECT a.doc_id, a.keep_clean, a.dup_loser, a.neardup_loser,
+               a.contaminated, a.sampled, a.keep, k.shard, k.pos
+        FROM aud2 a LEFT JOIN korder k USING (doc_id)
     """
 
 
@@ -4789,6 +4993,7 @@ def oracle_sql() -> dict[str, str]:
         "pattern_entities": _pattern_entities_sql(),
         "mention_extraction": _mention_extraction_sql(),
         "entity_resolution": _entity_resolution_sql(),
+        "corpus_prep": _corpus_prep_sql(),
         # batch file ingestion: DuckDB reads the SAME committed fixtures
         # the Spark query loads through sources/files.read_batch
         "file_batch_docs": f"""
