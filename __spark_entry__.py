@@ -3061,7 +3061,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   kernel); recall/precision ARE driver-oracled via srp_recall /
         #   text_srp_recall, plus a bucket-verify differential pytest
         "srp_near_dups": q_srp_near_dups,
-        # entity_relations: difflib ratio inside the matcher; pytest parity
+        # (entity_relations graduated to the oracled set in round 5:
+        #   RE2 pattern scan + norm join mirror, vertex election made
+        #   deterministic; engine agreement corpus-guarded by
+        #   tests/test_relations_oracle_guard.py)
         "entity_relations": q_entity_relations,
         # kmeans clustering: iterative data-dependent convergence; pytest
         #   with planted clusters
@@ -3258,28 +3261,20 @@ def _transcripts_sql() -> str:
     """
 
 
-def _mention_extraction_sql() -> str:
-    """DuckDB mirror of q_mention_extraction: rebuild the planted
-    transcripts (8-word chunks + integer-hash planting), reassemble in
-    turn order, then replay the extraction kernel — the SQL twin of
-    mentions.mention_structs_column (itself differentially tested against
-    the Arrow-UDF kernel)."""
-    from neuronews_spark.operators.mentions import (
-        ORG_SUFFIXES,
-        PERSON_TITLES,
-        STOP,
-    )
+def _planted_conv_ctes() -> str:
+    """Shared CTE prefix ``docs → turns → chunks → ptext → assembled``:
+    rebuild the planted transcripts (8-word chunks + integer-hash
+    planting, sources/synthetic.py) and reassemble each conversation's
+    ``doc_text`` in turn order.  Used by the mention-extraction mirror
+    and the entity-relations mirror so the derived corpus cannot drift
+    between them."""
     from neuronews_spark.sources.synthetic import _text_pools
 
     pool, _v = _text_pools(42)
     p = len(pool)
     pool_sql = "[" + ", ".join("'" + s.replace("'", "''") + "'" for s in pool) + "]"
-    stop_sql = _sql_list(sorted(STOP))
-    titles_sql = _sql_list(sorted(PERSON_TITLES))
-    orgs_sql = _sql_list(sorted(ORG_SUFFIXES))
-    cap_seq = r"\b([A-Z][a-z]{1,}(?:\s+[A-Z][a-z]{1,}){0,3})\b"
     return f"""
-        WITH docs AS (
+        docs AS (
           SELECT doc_id, 'conv_' || doc_id::varchar AS conv_id,
                  list_filter(string_split(text, ' '), x -> x <> '') AS words
           FROM documents),
@@ -3308,7 +3303,26 @@ def _mention_extraction_sql() -> str:
           FROM chunks),
         assembled AS MATERIALIZED (
           SELECT conv_id, string_agg(t, ' ' ORDER BY turn_idx) AS doc_text
-          FROM ptext GROUP BY conv_id),
+          FROM ptext GROUP BY conv_id)"""
+
+
+def _mention_kernel_parts() -> tuple[str, str]:
+    """(ctes, final_select) of the mention-extraction kernel, both
+    assuming an ``assembled(conv_id, doc_text)`` CTE is already in
+    scope.  Split so _mention_extraction_sql and _entity_relations_sql
+    share ONE kernel definition instead of nesting full WITH queries
+    (DuckDB rejects an inner WITH alias shadowing an outer one)."""
+    from neuronews_spark.operators.mentions import (
+        ORG_SUFFIXES,
+        PERSON_TITLES,
+        STOP,
+    )
+
+    stop_sql = _sql_list(sorted(STOP))
+    titles_sql = _sql_list(sorted(PERSON_TITLES))
+    orgs_sql = _sql_list(sorted(ORG_SUFFIXES))
+    cap_seq = r"\b([A-Z][a-z]{1,}(?:\s+[A-Z][a-z]{1,}){0,3})\b"
+    ctes = f"""
         ker AS MATERIALIZED (
           SELECT conv_id,
                  list_filter(
@@ -3356,12 +3370,137 @@ def _mention_extraction_sql() -> str:
                           ' ', 'g')
                         ELSE lower(name) END,
                    '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
-          FROM etyped)
+          FROM etyped)"""
+    select = """
         SELECT conv_id, name, entity_type, norm,
                lower(entity_type) || ':' || substring(md5(entity_type || ':'
                  || lower(trim(regexp_replace(name, '\\s+', ' ', 'g')))), 1, 12)
                  AS node_id
-        FROM final WHERE norm <> ''
+        FROM final WHERE norm <> ''"""
+    return ctes, select
+
+
+def _mention_extraction_sql() -> str:
+    """DuckDB mirror of q_mention_extraction: rebuild the planted
+    transcripts (_planted_conv_ctes), then replay the extraction kernel
+    (_mention_kernel_parts) — the SQL twin of
+    mentions.mention_structs_column (itself differentially tested
+    against the Arrow-UDF kernel)."""
+    ctes, select = _mention_kernel_parts()
+    return f"""
+        WITH {_planted_conv_ctes().strip()},
+        {ctes.strip()}
+        {select.strip()}
+    """
+
+
+def _entity_relations_sql() -> str:
+    """DuckDB mirror of q_entity_relations (relations.extract_relations
+    over the planted transcripts): per-pattern regex scan → candidate
+    surface suffix/prefix expansion → resolution-norm join against the
+    mention-derived vertex set → deterministic (max-conf, min-node_id)
+    per-norm vertex election → distinct on (conv, type, src, dst,
+    context), context then projected away (multiplicity preserved).
+
+    The regex table is imported from the OPERATOR
+    (relations.RELATIONSHIP_PATTERNS) so the mirror cannot drift from
+    the Spark side; Python ``re`` and DuckDB's RE2 agree on these
+    patterns' leftmost-greedy captures, pinned per-document by
+    tests/test_relations_oracle_guard.py on the actual corpus.
+    Mention confidence is the constant 0.8 (kg_updater.py:211), so
+    relation confidence folds to round(0.8 × 0.9, 6) = 0.72."""
+    from neuronews_spark.operators.relations import RELATIONSHIP_PATTERNS
+
+    per_pattern = []
+    for rtype, patterns in RELATIONSHIP_PATTERNS.items():
+        for p in patterns:
+            lit = "(?i)" + p  # operator compiles with re.IGNORECASE
+            per_pattern.append(f"""
+              SELECT conv_id, '{rtype}' AS relation_type,
+                     unnest(list_zip(
+                       regexp_extract_all(doc_text, '{lit}', 1),
+                       regexp_extract_all(doc_text, '{lit}', 2),
+                       regexp_extract_all(doc_text, '{lit}', 0))) AS z
+              FROM assembled""")
+    matches_sql = "\n              UNION ALL\n".join(per_pattern)
+    # normalize_name mirrors (functions/normalize.py:49-63): plain and
+    # Organization (legal-suffix-stripped) variants — a candidate's type
+    # is unknown before the join, so both forms are emitted
+    plain = ("trim(regexp_replace(regexp_replace(lower(s), "
+             "'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+    stripped = ("trim(regexp_replace(regexp_replace(regexp_replace(lower(s), "
+                "'\\b(inc|llc|corp|corporation|ltd|co|company|plc|gmbh|sa|ag)\\b', "
+                "' ', 'g'), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
+    ker_ctes, ker_select = _mention_kernel_parts()
+    return f"""
+        WITH {_planted_conv_ctes().strip()},
+        {ker_ctes.strip()},
+        men AS MATERIALIZED ({ker_select.strip()}),
+        vtx AS MATERIALIZED (
+          -- deterministic per-norm election: confidence is constant, so
+          -- (conf DESC, node_id ASC) reduces to min(node_id)
+          SELECT norm, min(node_id) AS vid
+          FROM (SELECT DISTINCT norm, node_id FROM men)
+          GROUP BY norm),
+        matches AS MATERIALIZED ({matches_sql}),
+        cand AS (
+          SELECT conv_id, relation_type,
+                 trim(z[1]) AS src_surface,
+                 trim(z[2]) AS dst_surface,
+                 z[3] AS context
+          FROM matches
+          WHERE trim(z[1]) <> '' AND trim(z[2]) <> ''),
+        ctoks AS (
+          SELECT *,
+                 list_filter(string_split_regex(src_surface, '\\s+'),
+                             t -> t <> '') AS st,
+                 list_filter(string_split_regex(dst_surface, '\\s+'),
+                             t -> t <> '') AS dt
+          FROM cand),
+        csurf AS (
+          -- src: token SUFFIXES (<=4), dst: token PREFIXES (<=4)
+          -- (relations.py src_cands / dst_cands)
+          SELECT conv_id, relation_type, context,
+                 list_distinct(list_filter(
+                   list_transform([1, 2, 3, 4],
+                     i -> array_to_string(
+                            st[greatest(len(st) - i + 1, 1):len(st)], ' ')),
+                   s -> s <> '')) AS sc,
+                 list_distinct(list_filter(
+                   list_transform([1, 2, 3, 4],
+                     i -> array_to_string(dt[1:i], ' ')),
+                   s -> s <> '')) AS dc
+          FROM ctoks),
+        cnorm AS (
+          -- each candidate under both normal forms (relations.py _norms)
+          SELECT conv_id, relation_type, context,
+                 list_distinct(list_filter(
+                   list_transform(sc, s -> {plain})
+                     || list_transform(sc, s -> {stripped}),
+                   s -> s <> '')) AS src_norms,
+                 list_distinct(list_filter(
+                   list_transform(dc, s -> {plain})
+                     || list_transform(dc, s -> {stripped}),
+                   s -> s <> '')) AS dst_norms
+          FROM csurf),
+        ex1 AS (
+          SELECT conv_id, relation_type, context, dst_norms,
+                 unnest(src_norms) AS src_norm
+          FROM cnorm),
+        ex2 AS (
+          SELECT conv_id, relation_type, context, src_norm,
+                 unnest(dst_norms) AS dst_norm
+          FROM ex1),
+        joined AS (
+          SELECT DISTINCT e.conv_id, e.relation_type,
+                 sv.vid AS src_node_id, dv.vid AS dst_node_id, e.context
+          FROM ex2 e
+          JOIN vtx sv ON e.src_norm = sv.norm
+          JOIN vtx dv ON e.dst_norm = dv.norm
+          WHERE sv.vid <> dv.vid)
+        SELECT conv_id, relation_type, src_node_id, dst_node_id,
+               0.72::double AS confidence
+        FROM joined
     """
 
 
@@ -4994,6 +5133,7 @@ def oracle_sql() -> dict[str, str]:
         "mention_extraction": _mention_extraction_sql(),
         "entity_resolution": _entity_resolution_sql(),
         "corpus_prep": _corpus_prep_sql(),
+        "entity_relations": _entity_relations_sql(),
         # batch file ingestion: DuckDB reads the SAME committed fixtures
         # the Spark query loads through sources/files.read_batch
         "file_batch_docs": f"""

@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -199,12 +199,26 @@ def extract_relations(
         if "confidence" in vertices.columns
         else F.lit(mention_confidence)
     )
-    v = vertices.select(
-        F.col("norm").alias("_vnorm"),
-        F.col("node_id").alias("_vid"),
-        F.col("name").alias("_vname"),
-        vconf.alias("_vconf"),
-    ).dropDuplicates(["_vnorm"])
+    # one vertex per norm, elected DETERMINISTICALLY (max confidence,
+    # then min node_id): suffix-stripped org norms genuinely collide
+    # ('lebesis inc' / 'lebesis corp' → 'lebesis'), and a
+    # dropDuplicates(norm) there picks a partition-order-dependent
+    # winner — two runs of the same job could emit different edge
+    # endpoints. row_number is one window over the tiny vertex table.
+    _vw = Window.partitionBy("_vnorm").orderBy(
+        F.col("_vconf").desc(), F.col("_vid").asc()
+    )
+    v = (
+        vertices.select(
+            F.col("norm").alias("_vnorm"),
+            F.col("node_id").alias("_vid"),
+            F.col("name").alias("_vname"),
+            vconf.alias("_vconf"),
+        )
+        .withColumn("_vrn", F.row_number().over(_vw))
+        .filter(F.col("_vrn") == 1)
+        .drop("_vrn")
+    )
     # rel confidence = min(src, dst entity confidence) × 0.9
     # (enhanced_entity_extractor.py:676-681) — the per-entity confidences
     # come through the vertex join, not a constant fold
