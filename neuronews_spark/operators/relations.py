@@ -68,8 +68,36 @@ RELATIONSHIP_PATTERNS: dict[str, list[str]] = {
     ],
 }
 
+# Every pattern is <SURFACE>...core...<SURFACE>: a greedy word-run
+# capture on each side of a literal middle. finditer on such a pattern
+# is O(tokens²) on a NON-matching document (each start position greedily
+# consumes to end-of-text, then backtracks word-by-word hunting for the
+# middle), which makes the scan quadratic on exactly the common case.
+# The middle alone is a linear-time regex and a NECESSARY condition of
+# any full match, so each pattern carries its core as a prefilter: docs
+# without the trigger are skipped without entering the quadratic path.
+_SURFACE = r"(\w+(?:\s+\w+)*)"
+
+
+def _pattern_core(p: str) -> str:
+    """The literal middle between the two surface captures (a full match
+    always contains a core match, so the core is a lossless prefilter).
+    Asserts the table shape so an edited pattern that breaks the
+    derivation fails at import, not by silently re-enabling the
+    quadratic scan."""
+    if p.count(_SURFACE) != 2:
+        raise ValueError(f"relationship pattern without surface captures: {p}")
+    start = p.index(_SURFACE) + len(_SURFACE)
+    end = p.rindex(_SURFACE)
+    core = p[start:end]
+    if not core:
+        raise ValueError(f"relationship pattern with empty core: {p}")
+    return core
+
+
 _COMPILED = [
-    (rtype, re.compile(p, re.IGNORECASE))
+    (rtype, re.compile(p, re.IGNORECASE),
+     re.compile(_pattern_core(p), re.IGNORECASE))
     for rtype, patterns in RELATIONSHIP_PATTERNS.items()
     for p in patterns
 ]
@@ -100,7 +128,9 @@ def extract_relation_candidates_py(text: str) -> list[tuple[str, str, str, str]]
     out: list[tuple[str, str, str, str]] = []
     if not text:
         return out
-    for rtype, rx in _COMPILED:
+    for rtype, rx, trigger in _COMPILED:
+        if trigger.search(text) is None:
+            continue
         for m in rx.finditer(text):
             src = m.group(1).strip()
             dst = m.group(2).strip()
