@@ -3306,6 +3306,56 @@ def _planted_conv_ctes() -> str:
           FROM ptext GROUP BY conv_id)"""
 
 
+def _org_suffix_re2() -> str:
+    """The operator's legal-suffix alternation (normalize.ORG_SUFFIX_RE)
+    as an RE2 literal: RE2 has no (?U) flag, and on this ASCII corpus
+    \\b/\\w agree with the unicode-flagged original.  Derived, not
+    copied, so a suffix-list edit updates every mirror."""
+    from neuronews_spark.functions.normalize import ORG_SUFFIX_RE
+
+    return ORG_SUFFIX_RE.replace("(?U)", "")
+
+
+def _token_shingle_pair_ctes(threshold: float) -> str:
+    """Shared CTE block ``tk → nz → jpairs``: distinct lowercase
+    token-3-shingles per doc (dedup._shingle_frame mirror, <3-token
+    whole-text fallback) and the EXACT inverted-index Jaccard pairs at
+    ``threshold`` — round(…, 6) applied BEFORE the filter, as the Spark
+    side filters on the rounded value.  One definition for the
+    minhash_near_dups, decontamination, and corpus_prep mirrors, so a
+    shingling or rounding fix cannot silently reach only one of them."""
+    return f"""
+        tk AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents),
+        nz AS MATERIALIZED (
+          SELECT doc_id, shingles FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3
+                        THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(
+                               range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' ')))
+                   END AS shingles
+            FROM tk)
+          WHERE len(shingles) > 0),
+        jpairs AS MATERIALIZED (
+          SELECT id_a, id_b, jaccard FROM (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::double
+                         / (any_value(len(a.shingles))
+                            + any_value(len(b.shingles)) - count(*)),
+                         6) AS jaccard
+            FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
+            JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+          WHERE jaccard >= {threshold})"""
+
+
 def _mention_kernel_parts() -> tuple[str, str]:
     """(ctes, final_select) of the mention-extraction kernel, both
     assuming an ``assembled(conv_id, doc_text)`` CTE is already in
@@ -3366,7 +3416,7 @@ def _mention_kernel_parts() -> tuple[str, str]:
                  trim(regexp_replace(regexp_replace(
                    CASE WHEN entity_type = 'Organization'
                         THEN regexp_replace(lower(name),
-                          '\\b(inc|llc|corp|corporation|ltd|co|company|plc|gmbh|sa|ag)\\b',
+                          '{_org_suffix_re2()}',
                           ' ', 'g')
                         ELSE lower(name) END,
                    '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm
@@ -3394,6 +3444,30 @@ def _mention_extraction_sql() -> str:
     """
 
 
+def _relation_matches_sql() -> str:
+    """The relationship-pattern scan stage of the entity_relations
+    mirror: one RE2 ``regexp_extract_all`` per pattern (group 1, group
+    2, whole match zipped), UNION ALL over the OPERATOR's pattern table
+    (relations.RELATIONSHIP_PATTERNS — imported, not copied, so the
+    mirror cannot drift).  Factored out so
+    tests/test_relations_oracle_guard.py replays the EXACT scan SQL the
+    oracle runs when pinning RE2-vs-CPython engine agreement."""
+    from neuronews_spark.operators.relations import RELATIONSHIP_PATTERNS
+
+    per_pattern = []
+    for rtype, patterns in RELATIONSHIP_PATTERNS.items():
+        for p in patterns:
+            lit = "(?i)" + p  # operator compiles with re.IGNORECASE
+            per_pattern.append(f"""
+              SELECT conv_id, '{rtype}' AS relation_type,
+                     unnest(list_zip(
+                       regexp_extract_all(doc_text, '{lit}', 1),
+                       regexp_extract_all(doc_text, '{lit}', 2),
+                       regexp_extract_all(doc_text, '{lit}', 0))) AS z
+              FROM assembled""")
+    return "\n              UNION ALL\n".join(per_pattern)
+
+
 def _entity_relations_sql() -> str:
     """DuckDB mirror of q_entity_relations (relations.extract_relations
     over the planted transcripts): per-pattern regex scan → candidate
@@ -3409,27 +3483,19 @@ def _entity_relations_sql() -> str:
     tests/test_relations_oracle_guard.py on the actual corpus.
     Mention confidence is the constant 0.8 (kg_updater.py:211), so
     relation confidence folds to round(0.8 × 0.9, 6) = 0.72."""
-    from neuronews_spark.operators.relations import RELATIONSHIP_PATTERNS
+    from neuronews_spark.operators.relations import _MAX_SURFACE_TOKENS
 
-    per_pattern = []
-    for rtype, patterns in RELATIONSHIP_PATTERNS.items():
-        for p in patterns:
-            lit = "(?i)" + p  # operator compiles with re.IGNORECASE
-            per_pattern.append(f"""
-              SELECT conv_id, '{rtype}' AS relation_type,
-                     unnest(list_zip(
-                       regexp_extract_all(doc_text, '{lit}', 1),
-                       regexp_extract_all(doc_text, '{lit}', 2),
-                       regexp_extract_all(doc_text, '{lit}', 0))) AS z
-              FROM assembled""")
-    matches_sql = "\n              UNION ALL\n".join(per_pattern)
+    matches_sql = _relation_matches_sql()
+    widths = "[" + ", ".join(
+        str(i) for i in range(1, _MAX_SURFACE_TOKENS + 1)
+    ) + "]"
     # normalize_name mirrors (functions/normalize.py:49-63): plain and
     # Organization (legal-suffix-stripped) variants — a candidate's type
     # is unknown before the join, so both forms are emitted
     plain = ("trim(regexp_replace(regexp_replace(lower(s), "
              "'[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
     stripped = ("trim(regexp_replace(regexp_replace(regexp_replace(lower(s), "
-                "'\\b(inc|llc|corp|corporation|ltd|co|company|plc|gmbh|sa|ag)\\b', "
+                f"'{_org_suffix_re2()}', "
                 "' ', 'g'), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g'))")
     ker_ctes, ker_select = _mention_kernel_parts()
     return f"""
@@ -3458,16 +3524,16 @@ def _entity_relations_sql() -> str:
                              t -> t <> '') AS dt
           FROM cand),
         csurf AS (
-          -- src: token SUFFIXES (<=4), dst: token PREFIXES (<=4)
-          -- (relations.py src_cands / dst_cands)
+          -- src: token SUFFIXES, dst: token PREFIXES, widths 1..MAX
+          -- (relations.py src_cands / dst_cands, _MAX_SURFACE_TOKENS)
           SELECT conv_id, relation_type, context,
                  list_distinct(list_filter(
-                   list_transform([1, 2, 3, 4],
+                   list_transform({widths},
                      i -> array_to_string(
                             st[greatest(len(st) - i + 1, 1):len(st)], ' ')),
                    s -> s <> '')) AS sc,
                  list_distinct(list_filter(
-                   list_transform([1, 2, 3, 4],
+                   list_transform({widths},
                      i -> array_to_string(dt[1:i], ' ')),
                    s -> s <> '')) AS dc
           FROM ctoks),
@@ -3619,39 +3685,11 @@ def _corpus_prep_sql() -> str:
                  min(doc_id) OVER (PARTITION BY md5(text)) <> doc_id
                    AS dup_loser
           FROM documents),
-        tk AS (
-          SELECT doc_id,
-                 list_filter(string_split_regex(lower(coalesce(text, '')),
-                                                '\\s+'),
-                             t -> t <> '') AS toks
-          FROM documents),
-        nz AS MATERIALIZED (
-          SELECT doc_id, shingles FROM (
-            SELECT doc_id,
-                   CASE WHEN len(toks) < 3
-                        THEN [array_to_string(toks, ' ')]
-                        ELSE list_distinct(list_transform(
-                               range(1, len(toks) - 1),
-                               i -> array_to_string(toks[i:i+2], ' ')))
-                   END AS shingles
-            FROM tk)
-          WHERE len(shingles) > 0),
-        prpairs AS MATERIALIZED (
-          SELECT id_a, id_b FROM (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(count(*)::double
-                         / (any_value(len(a.shingles))
-                            + any_value(len(b.shingles)) - count(*)),
-                         6) AS jaccard
-            FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
-            JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
-              ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id)
-          WHERE jaccard >= 0.8),
+        {_token_shingle_pair_ctes(0.8).strip()},
         edges AS MATERIALIZED (
-          SELECT id_a::varchar AS a, id_b::varchar AS b FROM prpairs
+          SELECT id_a::varchar AS a, id_b::varchar AS b FROM jpairs
           UNION
-          SELECT id_b::varchar, id_a::varchar FROM prpairs),
+          SELECT id_b::varchar, id_a::varchar FROM jpairs),
         cnodes AS (SELECT DISTINCT a AS n FROM edges),
         reach(n, r) AS (
           SELECT n, n FROM cnodes
@@ -3666,7 +3704,7 @@ def _corpus_prep_sql() -> str:
           UNION
           SELECT CASE WHEN id_a IN (SELECT doc_id FROM ev) THEN id_b
                       ELSE id_a END AS doc_id
-          FROM prpairs
+          FROM jpairs
           WHERE (id_a IN (SELECT doc_id FROM ev))
              OR (id_b IN (SELECT doc_id FROM ev))),
         aud AS MATERIALIZED (
@@ -5395,37 +5433,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # decontamination = the minhash mirror restricted to cross-side
         # pairs (eval = doc_id % 5 == 0); exact inverted-index Jaccard
-        "decontamination": """
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                                 i -> array_to_string(toks[i:i+2], ' ')))
-                     END AS shingles
-              FROM tk
-            ), nz AS (
-              SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
-            ), pairs AS (
-              SELECT id_a, id_b, jaccard FROM (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       round(count(*)::double
-                             / (any_value(len(a.shingles)) + any_value(len(b.shingles))
-                                - count(*)), 6) AS jaccard
-                FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
-                JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
-                  ON a.g = b.g AND a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-              WHERE jaccard >= 0.9
-            )
+        "decontamination": f"""
+            WITH {_token_shingle_pair_ctes(0.9).strip()}
             SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS eval_id,
                    CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS train_id,
                    jaccard
-            FROM pairs
+            FROM jpairs
             WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
         """,
         # dbt staging port: the mirror re-derives the synthetic raw corpus
@@ -6168,35 +6181,13 @@ def oracle_sql() -> dict[str, str]:
         # whitespace tokens -> distinct 3-token grams (<3 tokens => the
         # whole string as one shingle); filter applies to the ROUNDED value
         # exactly as the Spark side does.
-        "minhash_near_dups": """
-            WITH tk AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'),
-                                 t -> t <> '') AS toks
-              FROM documents
-            ), sh AS (
-              SELECT doc_id,
-                     CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                          ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                                 i -> array_to_string(toks[i:i+2], ' ')))
-                     END AS shingles
-              FROM tk
-            ), nz AS (
-              SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0
-            )
-            -- inverted-index pair counting (same plan shape as the Spark
-            -- side): |A∩B| by equi-join on exploded distinct shingles,
-            -- |A∪B| = |A|+|B|-|A∩B|; avoids the O(n²) list_intersect join
-            SELECT id_a, id_b, jaccard FROM (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     round(count(*)::double
-                           / (any_value(len(a.shingles)) + any_value(len(b.shingles))
-                              - count(*)), 6) AS jaccard
-              FROM (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) a
-              JOIN (SELECT doc_id, shingles, unnest(shingles) AS g FROM nz) b
-                ON a.g = b.g AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
-            WHERE jaccard >= 0.9
+        # inverted-index pair counting (same plan shape as the Spark
+        # side): |A∩B| by equi-join on exploded distinct shingles,
+        # |A∪B| = |A|+|B|-|A∩B|; avoids the O(n²) list_intersect join —
+        # shared block: _token_shingle_pair_ctes
+        "minhash_near_dups": f"""
+            WITH {_token_shingle_pair_ctes(0.9).strip()}
+            SELECT id_a, id_b, jaccard FROM jpairs
         """,
         # full-probe IVF is exact → same brute-force mirror as cosine_top5
         "ivf_topk": """

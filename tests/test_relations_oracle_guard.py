@@ -44,30 +44,18 @@ def _assembled(sf: str) -> list[tuple[str, str]]:
 
 
 def _sql_candidates(sf: str) -> Counter:
-    """The mirror's ``cand`` stage: per-pattern RE2 scan + trim/empty
-    filter, replayed standalone."""
-    from neuronews_spark.operators.relations import RELATIONSHIP_PATTERNS
-
+    """The mirror's ``cand`` stage: the oracle's OWN scan SQL
+    (__spark_entry__._relation_matches_sql — shared, not copied, so the
+    guard always replays exactly what the driver compares) + the same
+    trim/empty filter."""
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
         f"read_parquet('{sf}/documents.parquet')"
     )
-    per = []
-    for rtype, patterns in RELATIONSHIP_PATTERNS.items():
-        for p in patterns:
-            lit = "(?i)" + p
-            per.append(f"""
-              SELECT conv_id, '{rtype}' AS relation_type,
-                     unnest(list_zip(
-                       regexp_extract_all(doc_text, '{lit}', 1),
-                       regexp_extract_all(doc_text, '{lit}', 2),
-                       regexp_extract_all(doc_text, '{lit}', 0))) AS z
-              FROM assembled""")
-    union = "\n UNION ALL \n".join(per)
     rows = con.execute(
         f"WITH {entrymod._planted_conv_ctes().strip()}, "
-        f"matches AS ({union}) "
+        f"matches AS ({entrymod._relation_matches_sql()}) "
         "SELECT conv_id, relation_type, trim(z[1]), trim(z[2]), z[3] "
         "FROM matches WHERE trim(z[1]) <> '' AND trim(z[2]) <> ''"
     ).fetchall()
