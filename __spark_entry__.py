@@ -3081,15 +3081,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlet_clusters": q_outlet_clusters,
         # (corpus_prep graduated to the oracled window in round 5 —
         #   registered above at position ~13; see _corpus_prep_sql)
-        # bpe_merges: iterative argmax loop (merge N's input depends on
-        #   merge N-1's winner) has no SQL mirror; iteration 1 IS oracled
-        #   via bpe_top_pairs, and the full loop is pinned by differential
-        #   pytests vs a pure-Python Sennrich reference (test_tokenizer.py)
+        # (bpe_merges / bpe_token_counts graduated to the oracled set in
+        #   round 5: the 12-step training loop is UNROLLED as chained
+        #   CTEs — the pagerank-mirror pattern — with DuckDB replace()
+        #   as the left-to-right merge application; see _bpe_chain_ctes.
+        #   Chain-vs-encode equivalence corpus-guarded by
+        #   tests/test_bpe_oracle_guard.py; differential pytests vs the
+        #   pure-Python Sennrich reference remain in test_tokenizer.py)
         "bpe_merges": q_bpe_merges,
-        # bpe_token_counts: merge APPLICATION is iterative per word (no
-        #   SQL mirror); pinned by per-word differential + the
-        #   trainer-state consistency invariant (encode(train corpus)
-        #   reproduces the trainer's final symbol totals)
         "bpe_token_counts": q_bpe_token_counts,
     }
 
@@ -3354,6 +3353,109 @@ def _token_shingle_pair_ctes(threshold: float) -> str:
               ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id)
           WHERE jaccard >= {threshold})"""
+
+
+def _bpe_chain_ctes(n_merges: int) -> str:
+    """Unrolled BPE training chain (the pagerank-mirror pattern): w0 is
+    the corpus word-frequency table with each word's symbol sequence
+    encoded as a chr(31)-separated string; each step computes pair
+    counts (pc{{i}}), the 1-row argmax under the trainer's total
+    tie-break (b{{i}}: freq DESC, left ASC, right ASC, gated at freq ≥
+    2 — the early-stop rule), and applies the merge with one
+    ``replace`` (w{{i}}).  DuckDB's replace scans left-to-right and
+    continues AFTER each replacement, which is exactly Sennrich's
+    non-overlapping merge application (tokenizer._apply_merge); an
+    empty b{{i}} (early stop) leaves the word table unchanged via the
+    NULL-guarded CASE, so later steps stay empty too.  chr(31) cannot
+    occur inside a symbol (symbols are word characters + '</w>';
+    the corpus is ASCII text)."""
+    ctes = ["""
+        w0 AS MATERIALIZED (
+          SELECT word, freq,
+                 chr(31) || array_to_string(
+                   list_append(string_split(word, ''), '</w>'), chr(31))
+                 || chr(31) AS s
+          FROM (
+            SELECT word, count(*)::bigint AS freq FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                x -> x <> '')) AS word
+              FROM documents)
+            GROUP BY word))"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""
+        pc{i} AS MATERIALIZED (
+          SELECT z[1] AS l, z[2] AS r, sum(freq)::bigint AS c FROM (
+            SELECT freq, unnest(list_zip(sy[1:len(sy) - 1], sy[2:len(sy)])) AS z
+            FROM (SELECT freq,
+                         list_filter(string_split(s, chr(31)),
+                                     x -> x <> '') AS sy
+                  FROM w{p}))
+          GROUP BY 1, 2),
+        b{i} AS MATERIALIZED (
+          SELECT l, r, c FROM pc{i} WHERE c >= 2
+          ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+        w{i} AS MATERIALIZED (
+          SELECT word, freq,
+                 CASE WHEN (SELECT l FROM b{i}) IS NULL THEN s
+                      ELSE replace(s,
+                        chr(31) || (SELECT l FROM b{i}) || chr(31)
+                          || (SELECT r FROM b{i}) || chr(31),
+                        chr(31) || (SELECT l FROM b{i})
+                          || (SELECT r FROM b{i}) || chr(31))
+                 END AS s
+          FROM w{p})""")
+    return ",".join(ctes)
+
+
+def _bpe_merges_sql(n_merges: int = 12) -> str:
+    """DuckDB mirror of q_bpe_merges (tokenizer.bpe_train, 12 merges):
+    the learned merge table read off the unrolled chain — one row per
+    step's argmax.  Integer-only surface; binary collation on the
+    symbol tie-break matches Spark's UTF8-binary ordering."""
+    union = "\n            UNION ALL\n".join(
+        f'            SELECT {i} AS step, l AS "left", r AS "right", '
+        f"c AS pair_freq FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {_bpe_chain_ctes(n_merges).strip()}\n{union}"
+
+
+def _bpe_token_counts_sql(n_merges: int = 12) -> str:
+    """DuckDB mirror of q_bpe_token_counts (train 12 merges, then
+    bpe_encode the corpus): per-doc (n_words, n_bpe_tokens) read off
+    the chain's FINAL word-table state — valid because rank-greedy
+    encoding of a training-corpus word reproduces the trainer's final
+    segmentation of that word (merging (a,b) can only create pairs
+    involving the new a||b symbol, whose rank is necessarily later, so
+    encode applies ranks in non-decreasing order = the training
+    sequence).  That equivalence is pinned on the ACTUAL corpus vocab
+    by tests/test_bpe_oracle_guard.py (per-word chain-vs-encode) and on
+    random corpora by tests/test_tokenizer.py; empty docs keep their
+    (0, 0) row via the LEFT JOIN."""
+    return f"""
+        WITH {_bpe_chain_ctes(n_merges).strip()},
+        wtok AS MATERIALIZED (
+          SELECT word,
+                 len(list_filter(string_split(s, chr(31)),
+                                 x -> x <> ''))::bigint AS n_tok
+          FROM w{n_merges}),
+        dwords AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(coalesce(text, '')), '\\s+'),
+            x -> x <> '')) AS word
+          FROM documents),
+        agg AS (
+          SELECT d.doc_id, count(*)::bigint AS n_words,
+                 sum(t.n_tok)::bigint AS n_bpe_tokens
+          FROM dwords d JOIN wtok t USING (word)
+          GROUP BY d.doc_id)
+        SELECT doc_id,
+               coalesce(n_words, 0)::bigint AS n_words,
+               coalesce(n_bpe_tokens, 0)::bigint AS n_bpe_tokens
+        FROM documents LEFT JOIN agg USING (doc_id)
+    """
 
 
 def _mention_kernel_parts() -> tuple[str, str]:
@@ -5172,6 +5274,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution": _entity_resolution_sql(),
         "corpus_prep": _corpus_prep_sql(),
         "entity_relations": _entity_relations_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_token_counts": _bpe_token_counts_sql(),
         # batch file ingestion: DuckDB reads the SAME committed fixtures
         # the Spark query loads through sources/files.read_batch
         "file_batch_docs": f"""

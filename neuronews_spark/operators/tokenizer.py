@@ -143,10 +143,11 @@ def bpe_train(
     round so the plan stays O(1) deep.  Stops early if no pair occurs
     twice (nothing left worth merging).
 
-    Registered rows-only: the iterative argmax loop has no SQL mirror;
-    correctness is pinned by a differential pytest against a pure-Python
-    reference implementation of the same algorithm
-    (tests/test_tokenizer.py).
+    Oracled since round 5 (__spark_entry__._bpe_merges_sql): the loop
+    is unrolled as chained SQL CTEs, with DuckDB ``replace`` as the
+    left-to-right merge application; a differential pytest against a
+    pure-Python reference of the same algorithm remains in
+    tests/test_tokenizer.py.
     """
     words = (
         word_counts(docs, text_col)
@@ -301,10 +302,13 @@ def bpe_encode(
     batch applies merges per DISTINCT word in learned order with a
     per-batch word cache, so a word repeated across the batch is
     encoded once (the same distinct-word compression the trainer uses).
-    Merge application is inherently iterative per word, so there is no
-    SQL mirror — correctness is pinned by the differential pytest that
-    encodes with the SAME pure-Python implementation used to verify
-    :func:`bpe_train` (tests/test_tokenizer.py).
+    Oracled since round 5 (__spark_entry__._bpe_token_counts_sql):
+    the mirror reads per-word counts off the unrolled training chain's
+    final state, which equals rank-greedy encoding on training-corpus
+    words (corpus-guarded by tests/test_bpe_oracle_guard.py); the
+    differential pytest that encodes with the SAME pure-Python
+    implementation used to verify :func:`bpe_train` remains in
+    tests/test_tokenizer.py.
     """
     ranked = [
         (r["left"], r["right"])
