@@ -3362,19 +3362,24 @@ def _bpe_chain_ctes(n_merges: int) -> str:
     counts (pc{{i}}), the 1-row argmax under the trainer's total
     tie-break (b{{i}}: freq DESC, left ASC, right ASC, gated at freq ≥
     2 — the early-stop rule), and applies the merge with one
-    ``replace`` (w{{i}}).  DuckDB's replace scans left-to-right and
-    continues AFTER each replacement, which is exactly Sennrich's
-    non-overlapping merge application (tokenizer._apply_merge); an
+    ``replace`` (w{{i}}).  Each symbol x is encoded as ``chr(31) || x
+    || chr(31)`` and the blocks concatenated — every symbol carries its
+    OWN delimiters, so back-to-back occurrences of the merged pair
+    ([a,b,a,b]) do not share a separator character and replace's
+    continue-after-substitution scan merges BOTH, exactly Sennrich's
+    non-overlapping left-to-right application (tokenizer._apply_merge;
+    a single shared separator under-merges that case — pinned by
+    tests/test_bpe_oracle_guard.py's replace-simulation kernel).  An
     empty b{{i}} (early stop) leaves the word table unchanged via the
     NULL-guarded CASE, so later steps stay empty too.  chr(31) cannot
-    occur inside a symbol (symbols are word characters + '</w>';
-    the corpus is ASCII text)."""
+    occur inside a symbol (symbols are word characters + '</w>'; the
+    guard asserts the vocabulary is chr(31)-free)."""
     ctes = ["""
         w0 AS MATERIALIZED (
           SELECT word, freq,
-                 chr(31) || array_to_string(
-                   list_append(string_split(word, ''), '</w>'), chr(31))
-                 || chr(31) AS s
+                 array_to_string(list_transform(
+                   list_append(string_split(word, ''), '</w>'),
+                   x -> chr(31) || x || chr(31)), '') AS s
           FROM (
             SELECT word, count(*)::bigint AS freq FROM (
               SELECT unnest(list_filter(
@@ -3401,7 +3406,7 @@ def _bpe_chain_ctes(n_merges: int) -> str:
                  CASE WHEN (SELECT l FROM b{i}) IS NULL THEN s
                       ELSE replace(s,
                         chr(31) || (SELECT l FROM b{i}) || chr(31)
-                          || (SELECT r FROM b{i}) || chr(31),
+                          || chr(31) || (SELECT r FROM b{i}) || chr(31),
                         chr(31) || (SELECT l FROM b{i})
                           || (SELECT r FROM b{i}) || chr(31))
                  END AS s

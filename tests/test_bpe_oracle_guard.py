@@ -1,19 +1,26 @@
-"""Corpus guard for the BPE DuckDB oracles.
+"""Corpus guards for the BPE DuckDB oracles (_bpe_merges_sql /
+_bpe_token_counts_sql).
 
-``_bpe_token_counts_sql`` reads per-word token counts off the unrolled
-training chain's FINAL state, while the Spark side (tokenizer.
-bpe_encode) re-encodes each word rank-greedily against the learned
-merge table.  The two agree whenever rank-greedy encoding of a
-training-corpus word reproduces the trainer's final segmentation —
-true unless a later merge manufactures a symbol string identical to an
-earlier merge's output in a position the training pass never saw (the
-classic BPE encode/train divergence).  This guard replays BOTH kernels
-in pure Python over the ACTUAL corpus vocabulary at sf0.001 and sf0.01
-and asserts per-word equality, so a corpus change that opens the
-divergence fails here instead of flaking the driver's hash compare.
+Three preconditions make the unrolled-chain mirror a true oracle, and
+each is pinned here on the ACTUAL corpus at sf0.001 and sf0.01 so a
+corpus change fails loudly instead of flaking the driver's hash
+compare:
 
-The sequential trainer replayed here is the same reference algorithm
-differentially pinned against Spark's bpe_train in test_tokenizer.py.
+1. **replace-kernel equivalence** — the mirror applies each merge with
+   DuckDB ``replace`` over a per-symbol-delimited string; the guard
+   runs the full training chain under BOTH kernels (Sennrich scan and
+   the separator-string replace simulation) and asserts identical
+   per-word states after every step.  This is the kernel that
+   under-merged back-to-back pair occurrences under a single shared
+   separator — the adversarial [a,b,a,b] shape is asserted explicitly
+   so the class stays covered even if the corpus never produces it.
+2. **encode/train equivalence** — bpe_token_counts reads counts off
+   the chain's final state while Spark re-encodes rank-greedily; the
+   guard asserts per-word equality (the classic BPE divergence needs a
+   later merge to manufacture an earlier merge's symbol string).
+3. **encoding assumptions** — no vocabulary word contains the chr(31)
+   separator, and doc_id is unique (the token-count mirror aggregates
+   by doc_id and joins back).
 """
 
 from __future__ import annotations
@@ -23,9 +30,16 @@ from collections import Counter
 import duckdb
 import pytest
 
+from bpe_reference import (
+    SEP,
+    apply_merge,
+    encode_len,
+    sep_replace_apply,
+    train_chain,
+)
+
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 N_MERGES = 12
-EOW = "</w>"
 
 
 def _vocab(sf: str) -> Counter:
@@ -42,71 +56,70 @@ def _vocab(sf: str) -> Counter:
     return Counter(dict(rows))
 
 
-def _apply(sym: tuple, left: str, right: str) -> tuple:
-    out, i = [], 0
-    while i < len(sym):
-        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
-            out.append(left + right)
-            i += 2
-        else:
-            out.append(sym[i])
-            i += 1
-    return tuple(out)
+def test_sep_replace_handles_back_to_back_pairs():
+    """The adversarial shape that breaks a single-shared-separator
+    encoding: [a,b,a,b] must merge to [ab,ab], not [ab,a,b]."""
+    assert sep_replace_apply(("a", "b", "a", "b"), "a", "b") == ("ab", "ab")
+    assert apply_merge(("a", "b", "a", "b"), "a", "b") == ("ab", "ab")
+    # left == right overlap: [a,a,a] -> [aa,a] (leftmost-nonoverlapping)
+    assert sep_replace_apply(("a", "a", "a"), "a", "a") == ("aa", "a")
+    assert apply_merge(("a", "a", "a"), "a", "a") == ("aa", "a")
 
 
-def _train_chain(vocab: Counter, n: int):
-    """Sequential Sennrich trainer over the vocab: returns (merges,
-    final per-word symbol state)."""
-    state = {w: tuple(list(w) + [EOW]) for w in vocab}
-    merges = []
-    for _ in range(n):
-        counts: Counter = Counter()
-        for w, sym in state.items():
-            f = vocab[w]
-            for a, b in zip(sym, sym[1:]):
-                counts[(a, b)] += f
-        if not counts:
-            break
-        (left, right), freq = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if freq < 2:
-            break
-        merges.append((left, right))
-        state = {w: _apply(sym, left, right) for w, sym in state.items()}
-    return merges, state
-
-
-def _encode_len(word: str, rank: dict) -> int:
-    sym = list(word) + [EOW]
-    while len(sym) > 1:
-        best, best_r = None, None
-        for i in range(len(sym) - 1):
-            r = rank.get((sym[i], sym[i + 1]))
-            if r is not None and (best_r is None or r < best_r):
-                best, best_r = (sym[i], sym[i + 1]), r
-        if best is None:
-            break
-        sym = list(_apply(tuple(sym), best[0], best[1]))
-    return len(sym)
+@pytest.mark.parametrize("sf", SFS)
+def test_replace_kernel_equals_sennrich_scan_on_corpus(sf):
+    vocab = _vocab(sf)
+    assert vocab, f"degenerate corpus at {sf}"
+    m_scan, s_scan = train_chain(vocab, N_MERGES, apply=apply_merge)
+    m_repl, s_repl = train_chain(vocab, N_MERGES, apply=sep_replace_apply)
+    assert m_scan == m_repl, (
+        f"merge tables diverge between kernels at {sf}: "
+        f"{list(zip(m_scan, m_repl))[:5]}"
+    )
+    diverged = {w: (s_scan[w], s_repl[w]) for w in vocab
+                if s_scan[w] != s_repl[w]}
+    assert not diverged, (
+        f"replace-kernel divergence at {sf}: "
+        f"{dict(list(diverged.items())[:5])}"
+    )
 
 
 @pytest.mark.parametrize("sf", SFS)
 def test_chain_state_equals_rank_greedy_encode(sf):
     vocab = _vocab(sf)
-    assert vocab, f"degenerate corpus at {sf}"
-    merges, state = _train_chain(vocab, N_MERGES)
+    merges, state = train_chain(vocab, N_MERGES)
     assert len(merges) == N_MERGES, (
         f"early stop at {len(merges)} merges — the 12-step oracle chain "
         f"and this guard no longer cover the same regime at {sf}"
     )
     rank = {pair: i for i, pair in enumerate(merges)}
     diverged = {
-        w: (len(state[w]), _encode_len(w, rank))
+        w: (len(state[w]), encode_len(w, rank))
         for w in vocab
-        if len(state[w]) != _encode_len(w, rank)
+        if len(state[w]) != encode_len(w, rank)
     }
     assert not diverged, (
         f"encode/train divergence at {sf} (word: chain vs encode): "
         f"{dict(list(diverged.items())[:5])}"
+    )
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_encoding_assumptions(sf):
+    vocab = _vocab(sf)
+    tainted = [w for w in vocab if SEP in w]
+    assert tainted == [], (
+        f"vocabulary words containing the chr(31) separator at {sf}: "
+        f"{tainted[:5]} — the oracle's symbol encoding is corrupted"
+    )
+    con = duckdb.connect()
+    dup = con.execute(
+        "SELECT doc_id, count(*) c FROM "
+        f"read_parquet('{sf}/documents.parquet') "
+        "GROUP BY doc_id HAVING c > 1"
+    ).fetchall()
+    con.close()
+    assert dup == [], (
+        f"duplicate doc_ids at {sf}: {dup[:5]} — the token-count "
+        "mirror's group-and-join-back assumes uniqueness"
     )
